@@ -1,0 +1,15 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from toshi_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("toshi_spark_tests", cores=4, shuffle_partitions=8,
+                  extra_conf={"spark.driver.memory": "4g"})
+    yield s

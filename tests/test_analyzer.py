@@ -1,0 +1,55 @@
+"""Analyzer semantics: Tantivy-default chain, byte-exact and deterministic."""
+
+import hashlib
+
+from toshi_spark.analyzer import TOKEN_BYTE_LIMIT, terms_only, tokenize
+from toshi_spark.fixtures import synth_webtext
+
+
+def test_simple_tokenize_lowercase():
+    assert terms_only("Test Document 1") == ["test", "document", "1"]
+
+
+def test_separators_non_alnum():
+    # punctuation, underscore, dashes are separators (Rust is_alphanumeric)
+    assert terms_only("foo_bar, baz-qux!  tic;toc") == [
+        "foo", "bar", "baz", "qux", "tic", "toc",
+    ]
+
+
+def test_long_token_dropped_but_position_consumed():
+    long = "x" * TOKEN_BYTE_LIMIT
+    toks = tokenize(f"{long} hello world")
+    # the 40-byte token is dropped; positions keep the gap (Tantivy
+    # RemoveLongFilter does not renumber)
+    assert toks == [("hello", 1), ("world", 2)]
+
+
+def test_39_byte_token_kept():
+    tok = "y" * 39
+    assert tokenize(tok) == [(tok, 0)]
+
+
+def test_unicode_alnum():
+    assert terms_only("Caffè latté 北京 2024年") == ["caffè", "latté", "北京", "2024年"]
+
+
+def test_positions_sequential():
+    assert tokenize("a b a") == [("a", 0), ("b", 1), ("a", 2)]
+
+
+def test_empty_and_punct_only():
+    assert tokenize("") == []
+    assert tokenize("!!! ---") == []
+
+
+def test_webtext_deterministic_across_parallelism(spark):
+    """Per-url byte-identity: same corpus bytes at different partitioning."""
+    a = synth_webtext(spark, 200, seed=42, partitions=2).orderBy("url").collect()
+    b = synth_webtext(spark, 200, seed=42, partitions=7).orderBy("url").collect()
+    assert len(a) == len(b) == 200
+    ha = hashlib.md5(repr([(r.url, r.text, bytes(r.html)) for r in a]).encode()).hexdigest()
+    hb = hashlib.md5(repr([(r.url, r.text, bytes(r.html)) for r in b]).encode()).hexdigest()
+    assert ha == hb
+    # html wraps text exactly
+    assert bytes(a[0].html) == f"<html><body>{a[0].text}</body></html>".encode()

@@ -1,0 +1,110 @@
+"""Deterministic test fixtures.
+
+1. ``toshi_fixture_docs`` — the reference's 5-doc unit-test index,
+   rows copied verbatim from ``toshi-server/src/commit.rs:56-60`` (the
+   contract for every hit-count assertion in
+   ``toshi-server/src/handlers/search.rs:59-197``).
+2. ``synth_webtext`` — a Common-Crawl-style corpus matching
+   BASELINE.json's input_hint: (url, warc_ts, html, text, lang).
+   Generated distributed (spark.range + mapInPandas) with per-row
+   seeding, so the bytes are identical regardless of parallelism or
+   partitioning — the per-url byte-identity invariant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+TOSHI_FIXTURE_ROWS = [
+    # (test_text, test_i64, test_u64, test_unindex, test_facet)
+    ("Test Document 1", 2014, 10, "no", "/cat/cat2"),
+    ("Test Dockument 2", -2015, 11, "yes", "/cat/cat2"),
+    ("Test Duckiment 3", 2016, 12, "noo", "/cat/cat3"),
+    ("Test Document 4", -2017, 13, "yess", "/cat/cat4"),
+    ("Test Document 5", 2018, 14, "nooo", "/dog/cat2"),
+]
+
+TOSHI_FIXTURE_SCHEMA = (
+    "doc_id long, test_text string, test_i64 long, test_u64 long, "
+    "test_unindex string, test_facet string"
+)
+
+
+def toshi_fixture_docs(spark: SparkSession) -> DataFrame:
+    rows = [(i, *r) for i, r in enumerate(TOSHI_FIXTURE_ROWS)]
+    return spark.createDataFrame(rows, TOSHI_FIXTURE_SCHEMA)
+
+
+# ---------------------------------------------------------------- webtext
+
+_EPOCH = int(datetime(2020, 1, 1, tzinfo=timezone.utc).timestamp())
+_LANGS = ["en"] * 17 + ["de", "fr", "zh"]
+
+# Zipf-ish vocabulary: rank r gets weight 1/(r+1); head terms dominate
+# so head-term skew (salting, block-max pruning) is exercised for real.
+_VOCAB_SIZE = 2000
+_LONG_TOKEN = "x" * 45  # dropped by the 40-byte analyzer rule
+
+
+def _vocab(n: int = _VOCAB_SIZE) -> list[str]:
+    return [f"w{i}" for i in range(n)]
+
+
+def _doc_seed(global_seed: int, i: int) -> int:
+    h = hashlib.md5(f"{global_seed}:{i}".encode()).digest()
+    return int.from_bytes(h[:4], "little")
+
+
+def _gen_batch(idx: np.ndarray, seed: int) -> pd.DataFrame:
+    vocab = np.array(_vocab())
+    ranks = np.arange(1.0, len(vocab) + 1.0)
+    probs = (1.0 / ranks) / np.sum(1.0 / ranks)
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for i in idx:
+        i = int(i)
+        rng = np.random.RandomState(_doc_seed(seed, i))
+        n_tokens = int(10 + rng.zipf(1.3) % 1990) if rng.rand() < 0.5 else int(
+            10 + rng.randint(0, 490)
+        )
+        words = list(vocab[rng.choice(len(vocab), size=n_tokens, p=probs)])
+        words.append(f"marker{i:08d}")  # unique tail term per doc
+        if i % 97 == 0:
+            words.insert(0, _LONG_TOKEN)  # analyzer must drop, position gap
+        sep_pool = [" ", " ", " ", ", ", ". ", "; ", " - ", "\n"]
+        seps = rng.choice(len(sep_pool), size=len(words))
+        text = "".join(
+            w + sep_pool[int(s)] for w, s in zip(words, seps)
+        ).rstrip()
+        url = f"https://example-{i % 1000:04d}.test/page/{i:010d}"
+        urls.append(url)
+        tss.append(datetime.fromtimestamp(_EPOCH + i, tz=timezone.utc))
+        htmls.append(f"<html><body>{text}</body></html>".encode("utf-8"))
+        texts.append(text)
+        langs.append(_LANGS[i % len(_LANGS)])
+    return pd.DataFrame(
+        {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
+    )
+
+
+WEBTEXT_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def synth_webtext(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic synthetic web corpus (BASELINE.json input_hint shape)."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_docs, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gen_batch(pdf["id"].values, seed)
+
+    return base.mapInPandas(gen, WEBTEXT_SCHEMA)

@@ -1,0 +1,83 @@
+"""BM25 scoring as native Catalyst column arithmetic (no UDFs).
+
+Formula (Tantivy 0.19 public docs; Toshi uses Tantivy's default
+scoring — plain ``TopDocs::with_limit`` collector at
+``toshi-server/src/handle.rs:94``, scores surfaced at
+``handle.rs:136-143``):
+
+    idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf_norm   = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    score(d)  = Σ_t idf(t) * tf_norm(t, d)          k1 = 1.2, b = 0.75
+
+Two fidelity notes pinned by SURVEY.md §2.2/§4:
+
+* **Basic record option**: Toshi's term query is constructed with
+  ``IndexRecordOption::Basic`` (``toshi-types/src/query/term.rs:38``) —
+  postings decode without term frequencies, so tf is treated as 1
+  (idf and length-norm still apply).  ``tf_expr='basic'`` reproduces it.
+* **f32**: Tantivy computes in f32.  The engine computes in double
+  (Spark-native) and exposes ``as_f32`` casting for rank-identity
+  tests against the pinned pure-Python oracle (tests/oracle_bm25.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from . import B, K1
+
+
+def idf_col(n_docs: int, df_col: Column) -> Column:
+    return F.log(
+        1.0 + (F.lit(float(n_docs)) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+    )
+
+
+def tf_norm_col(tf_col: Column, doclen_col: Column, avgdl: float) -> Column:
+    denom = tf_col + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * doclen_col / F.lit(float(avgdl))
+    )
+    return tf_col * F.lit(K1 + 1.0) / denom
+
+
+def bm25_score(
+    matched: DataFrame,
+    doclens: DataFrame,
+    termstats: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    tf_mode: str = "full",
+    as_f32: bool = False,
+) -> DataFrame:
+    """Score per-(doc, term) matches → per-doc summed BM25.
+
+    ``matched``: rows (field, term, doc_id, tf).  Join shape: termstats
+    is tiny relative to postings (one row per distinct query term after
+    the semi-join) → broadcast; doclens joins on doc_id.  Output:
+    (doc_id, score).
+    """
+    per_term_df = termstats.select("field", "term", "df")
+    tf = F.lit(1.0) if tf_mode == "basic" else F.col("tf").cast("double")
+    scored = (
+        matched.join(F.broadcast(per_term_df), ["field", "term"])
+        .join(doclens, "doc_id")
+        .withColumn(
+            "part_score",
+            idf_col(n_docs, F.col("df").cast("double"))
+            * tf_norm_col(tf, F.col("doc_len").cast("double"), avgdl),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("part_score").alias("score"))
+    if as_f32:
+        agg = agg.withColumn("score", F.col("score").cast("float").cast("double"))
+    return agg
+
+
+def topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k: score desc, doc_id asc tie-break (pinned order).
+
+    Spark plans this as TakeOrderedAndProject — per-partition heaps +
+    driver merge, the same partial/final shape as Tantivy's per-segment
+    collectors merged at ``handle.rs:124-127``.
+    """
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
