@@ -21,7 +21,7 @@ from toshi_spark.scoring import bm25_score, topk
 @pytest.fixture(scope="module")
 def fixture_index(spark):
     docs = toshi_fixture_docs(spark)
-    return build_index(docs, id_col="doc_id", text_col="test_text", field="test_text")
+    return build_index(docs, id_col="doc_id", text_fields="test_text")
 
 
 def test_index_stats(fixture_index):

@@ -8,10 +8,11 @@ dissolves into deterministic docId assignment + a shuffle-by-term:
 
     corpus ──mapInPandas(analyze)──► per-(doc,term) rows   [map-side
       │                                                      partial agg]
-      ├─► doclens   (groupBy doc_id — partial agg'd)
-      ├─► termstats (groupBy field,term → df — partial agg'd)
-      └─► postings  repartition(field, term[, salt]) + sortWithinPartitions
-                    → parquet segment sorted by (field, term, doc_id)
+      ├─► doclens    (groupBy field,doc — partial agg'd)
+      ├─► termstats  (groupBy field,term → df — partial agg'd)
+      ├─► fieldstats (avgdl per field, N)
+      └─► postings   repartition(field, term[, salt]) + sortWithinPartitions
+                     → parquet segment sorted by (field, term, doc_id)
 
 Skew: head terms (stopword-like, df ~ N) are salted —
 ``salt = doc_id % n_salts`` for terms whose df exceeds a threshold —
@@ -31,22 +32,34 @@ from ..analyzer import ANALYZE_SCHEMA, analyze_partition
 
 @dataclass
 class IndexTables:
-    """In-memory (lazy DataFrame) view of one built index/segment."""
+    """Lazy-DataFrame view of one built index (or one segment).
+
+    BM25 length normalization is per field, so doclens/fieldstats carry
+    a ``field`` column (a doc has one length per indexed text field).
+    """
 
     postings: DataFrame  # field, term, doc_id, tf, positions
-    doclens: DataFrame  # doc_id, doc_len
+    doclens: DataFrame  # field, doc_id, doc_len
     termstats: DataFrame  # field, term, df
+    fieldstats: DataFrame  # field, avgdl
     n_docs: int
-    avgdl: float
+
+    @property
+    def avgdl(self) -> float:
+        """Single-field convenience: the one field's avgdl."""
+        rows = self.fieldstats.collect()
+        assert len(rows) == 1, "avgdl property is for single-field indexes"
+        return float(rows[0]["avgdl"])
 
 
 def analyze_corpus(
     corpus: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    field: str = "text",
+    id_col: str,
+    text_col: str,
+    field: str | None = None,
 ) -> DataFrame:
     """corpus → per-(doc, term) rows with tf, positions, doc_len."""
+    field = field or text_col
     proj = corpus.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
@@ -59,35 +72,38 @@ def analyze_corpus(
 def build_index(
     corpus: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
-    field: str = "text",
+    text_fields: list[str] | str = "text",
     cache: bool = True,
 ) -> IndexTables:
-    """Build the three index tables from a corpus DataFrame.
+    """Build index tables over one or more text fields of a corpus.
 
-    The analyzed intermediate is cached (it feeds three consumers);
-    at segment-write time it is instead persisted to parquet, which is
-    the durable equivalent.
+    The analyzed intermediate feeds four consumers, so it is persisted
+    (at segment-write time, parquet on disk plays this role instead).
     """
-    analyzed = analyze_corpus(corpus, id_col, text_col, field)
+    if isinstance(text_fields, str):
+        text_fields = [text_fields]
+    analyzed = None
+    for tf in text_fields:
+        part = analyze_corpus(corpus, id_col, tf, field=tf)
+        analyzed = part if analyzed is None else analyzed.unionByName(part)
+    assert analyzed is not None, "at least one text field required"
     if cache:
         analyzed = analyzed.persist()
     postings = analyzed.filter(F.col("tf") > 0).select(
         "field", "term", "doc_id", "tf", "positions"
     )
-    doclens = analyzed.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
-    termstats = postings.groupBy("field", "term").agg(
-        F.count("*").alias("df")
+    doclens = analyzed.groupBy("field", "doc_id").agg(
+        F.max("doc_len").alias("doc_len")
     )
-    stats = doclens.agg(
-        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-    ).collect()[0]
+    termstats = postings.groupBy("field", "term").agg(F.count("*").alias("df"))
+    fieldstats = doclens.groupBy("field").agg(F.avg("doc_len").alias("avgdl"))
+    n_docs = corpus.select(id_col).distinct().count()
     return IndexTables(
         postings=postings,
         doclens=doclens,
         termstats=termstats,
-        n_docs=int(stats["n"]),
-        avgdl=float(stats["avgdl"] or 0.0),
+        fieldstats=fieldstats,
+        n_docs=n_docs,
     )
 
 

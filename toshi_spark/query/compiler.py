@@ -1,0 +1,297 @@
+"""Query compiler: DSL tree (IR #1) → DataFrame program (IR #2).
+
+The reference lowers its DSL 1:1 to Tantivy query objects
+(``toshi-server/src/handle.rs:107-121``); all physical smarts live in
+the library.  Here the lowering target is a Catalyst logical plan over
+the index tables, and the physical smarts are Catalyst's: the postings
+filter pushes down to the parquet scan, posting-list intersection is a
+join on doc_id, union is union+groupBy-sum, difference is left_anti.
+
+Scoring semantics pinned per clause type (SURVEY.md §2.2):
+
+- term    → BM25 with tf treated as 1 (``IndexRecordOption::Basic``,
+            ``toshi-types/src/query/term.rs:38``; idf + length norm
+            still apply)
+- phrase  → BM25 with tf = phrase frequency (positional intersection)
+- fuzzy   → constant 1.0 (Tantivy automaton queries use a ConstScorer)
+- regex   → constant 1.0 (same)
+- range   → constant 1.0 (observed: ``handlers/search.rs:154-174``)
+- all     → constant 1.0
+- bool    → must: doc∈all clauses, score = Σ clause scores;
+            should: adds score when present (pure OR if no must);
+            must_not: anti-join; minimum_should_match/boost DROPPED
+            (reference quirk, ``boolean.rs:47-61``)
+
+Every compile returns a DataFrame with exactly (doc_id: long,
+score: double).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..scoring import bm25_score, idf_col, tf_norm_dyn
+from ..schema import QueryError
+from .dsl import (
+    AllQuery,
+    BoolQuery,
+    ExactTerm,
+    FuzzyQuery,
+    PhraseQuery,
+    Query,
+    RangeQuery,
+    RawQuery,
+    RegexQuery,
+)
+
+
+class Compiler:
+    """Compiles DSL nodes against one index's tables.
+
+    ``ctx`` is the engine (FullTextIndex): postings, doclens, termstats,
+    fieldstats, n_docs, corpus, schema.
+    """
+
+    def __init__(self, ctx):
+        self.ctx = ctx
+
+    # -------------------------------------------------------------- leafs
+
+    def _postings_for_terms(self, field: str, terms: list[str]) -> DataFrame:
+        p = self.ctx.postings
+        cond = F.col("field") == field
+        if len(terms) == 1:
+            tcond = F.col("term") == terms[0]
+        else:
+            tcond = F.col("term").isin(terms)
+        return p.filter(cond & tcond)
+
+    def compile_term(self, q: ExactTerm) -> DataFrame:
+        self.ctx.schema.require_indexed(q.field)
+        # query value used verbatim (Term::from_field_text, mod.rs:221)
+        matched = self._postings_for_terms(q.field, [q.value]).select(
+            "field", "term", "doc_id", "tf"
+        )
+        return bm25_score(
+            matched,
+            self.ctx.doclens,
+            self.ctx.termstats,
+            self.ctx.n_docs,
+            self.ctx.fieldstats,
+            tf_mode="basic",
+        )
+
+    def compile_phrase(self, q: PhraseQuery) -> DataFrame:
+        q.validate()
+        self.ctx.schema.require_indexed(q.field)
+        offsets = q.offsets if q.offsets is not None else list(range(len(q.terms)))
+        legs = []
+        for i, term in enumerate(q.terms):
+            legs.append(
+                self._postings_for_terms(q.field, [term]).select(
+                    F.col("doc_id"), F.col("positions").alias(f"pos_{i}")
+                )
+            )
+        joined = reduce(lambda a, b: a.join(b, "doc_id"), legs)
+        # anchor on term 0: phrase matches at p iff term_i sits at
+        # p - offsets[0] + offsets[i] for all i (Tantivy
+        # PhraseQuery::new_with_offset semantics, phrase.rs:58-71)
+        deltas = [(i, offsets[i] - offsets[0]) for i in range(1, len(q.terms))]
+
+        def anchor_matches(p):
+            cond = None
+            for i, d in deltas:
+                c = F.array_contains(F.col(f"pos_{i}"), p + F.lit(d))
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        phrase_tf = F.size(F.filter(F.col("pos_0"), anchor_matches))
+        matched = (
+            joined.withColumn("tf", phrase_tf)
+            .filter(F.col("tf") > 0)
+            .select(F.lit(q.field).alias("field"), "doc_id", "tf")
+        )
+        # Phrase scoring: Tantivy's PhraseQuery uses a multi-term BM25
+        # weight — idf summed over the phrase terms (with multiplicity),
+        # tf = phrase frequency.  idf_sum is a 1-row aggregate over the
+        # term dictionary → lazy broadcast cross join, no driver action.
+        from collections import Counter
+
+        counts = Counter(q.terms)
+        weights = self.ctx.spark.createDataFrame(
+            [(t, float(c)) for t, c in counts.items()], "term string, w double"
+        )
+        ts = self.ctx.termstats.filter(
+            (F.col("field") == q.field) & F.col("term").isin(list(counts))
+        )
+        idf_total = (
+            ts.join(F.broadcast(weights), "term")
+            .agg(
+                F.coalesce(
+                    F.sum(idf_col(self.ctx.n_docs, F.col("df").cast("double"))
+                          * F.col("w")),
+                    F.lit(0.0),
+                ).alias("idf_sum")
+            )
+        )
+        scored = (
+            matched.join(self.ctx.doclens, ["field", "doc_id"])
+            .join(F.broadcast(self.ctx.fieldstats), "field")
+            .crossJoin(F.broadcast(idf_total))
+            .withColumn(
+                "score",
+                F.col("idf_sum")
+                * tf_norm_dyn(
+                    F.col("tf").cast("double"),
+                    F.col("doc_len").cast("double"),
+                    F.col("avgdl"),
+                ),
+            )
+        )
+        return scored.select("doc_id", "score")
+
+    def _expand_dict(self, field: str, term_pred: Column) -> DataFrame:
+        """Term-dictionary expansion → matching terms for this field."""
+        d = self.ctx.termstats.filter(F.col("field") == field).filter(term_pred)
+        return d.select("field", "term")
+
+    def _const_score_for_terms(self, expanded: DataFrame) -> DataFrame:
+        """Automaton-query scoring: every matching doc scores 1.0."""
+        matched = self.ctx.postings.join(
+            F.broadcast(expanded), ["field", "term"], "left_semi"
+        )
+        return matched.select("doc_id").distinct().withColumn(
+            "score", F.lit(1.0)
+        )
+
+    def compile_fuzzy(self, q: FuzzyQuery) -> DataFrame:
+        self.ctx.schema.require_indexed(q.field)
+        if not q.transposition:
+            pred = F.levenshtein(F.col("term"), F.lit(q.value)) <= q.distance
+            expanded = self._expand_dict(q.field, pred)
+        else:
+            # Damerau-Levenshtein (adjacent transposition counts as 1):
+            # no Spark built-in → Arrow-batched pandas UDF over the term
+            # dictionary (dict ≪ postings, so this stays cheap).
+            value, dist = q.value, q.distance
+
+            @F.pandas_udf("boolean")
+            def within(terms: pd.Series) -> pd.Series:
+                return terms.map(lambda t: _damerau(t, value, dist) <= dist)
+
+            expanded = self._expand_dict(q.field, within(F.col("term")))
+        return self._const_score_for_terms(expanded)
+
+    def compile_regex(self, q: RegexQuery) -> DataFrame:
+        q.validate()
+        self.ctx.schema.require_indexed(q.field)
+        # Tantivy regex-automaton matches the ENTIRE term (regex.rs:28-36)
+        pred = F.col("term").rlike(f"^(?:{q.pattern})$")
+        return self._const_score_for_terms(self._expand_dict(q.field, pred))
+
+    def compile_range(self, q: RangeQuery) -> DataFrame:
+        spec = self.ctx.schema.require_indexed(q.field)
+        lower, lower_incl, upper, upper_incl = q.bounds_for(spec.ftype)
+        col = F.col(q.field)
+        cond = F.lit(True)
+        if lower is not None:
+            cond = cond & (col >= lower if lower_incl else col > lower)
+        if upper is not None:
+            cond = cond & (col <= upper if upper_incl else col < upper)
+        # native typed predicate → Catalyst pushes to the parquet scan
+        return (
+            self.ctx.corpus.filter(cond)
+            .select(F.col(self.ctx.id_col).alias("doc_id"))
+            .withColumn("score", F.lit(1.0))
+        )
+
+    def compile_all(self, _q: AllQuery) -> DataFrame:
+        return self.ctx.corpus.select(
+            F.col(self.ctx.id_col).alias("doc_id")
+        ).withColumn("score", F.lit(1.0))
+
+    # ------------------------------------------------------------ boolean
+
+    def compile_bool(self, q: BoolQuery) -> DataFrame:
+        q.validate()
+        musts = [self.compile(c) for c in q.must]
+        shoulds = [self.compile(c) for c in q.should]
+        must_nots = [self.compile(c) for c in q.must_not]
+
+        base: DataFrame | None = None
+        if musts:
+            base = musts[0]
+            for m in musts[1:]:
+                # posting-list intersection = inner join on doc_id
+                base = (
+                    base.join(m.withColumnRenamed("score", "s2"), "doc_id")
+                    .withColumn("score", F.col("score") + F.col("s2"))
+                    .drop("s2")
+                )
+
+        if shoulds:
+            s_union = reduce(lambda a, b: a.unionByName(b), shoulds)
+            s_sum = s_union.groupBy("doc_id").agg(F.sum("score").alias("s2"))
+            if base is None:
+                base = s_sum.withColumnRenamed("s2", "score")
+            else:
+                base = (
+                    base.join(s_sum, "doc_id", "left")
+                    .withColumn(
+                        "score", F.col("score") + F.coalesce(F.col("s2"), F.lit(0.0))
+                    )
+                    .drop("s2")
+                )
+
+        if base is None:
+            # no positive clause → empty result (Tantivy: no scorer)
+            return self.ctx.spark.createDataFrame([], "doc_id long, score double")
+
+        for mn in must_nots:
+            base = base.join(mn.select("doc_id"), "doc_id", "left_anti")
+        return base
+
+    # ----------------------------------------------------------- dispatch
+
+    def compile(self, q: Query) -> DataFrame:
+        if isinstance(q, ExactTerm):
+            return self.compile_term(q)
+        if isinstance(q, PhraseQuery):
+            return self.compile_phrase(q)
+        if isinstance(q, FuzzyQuery):
+            return self.compile_fuzzy(q)
+        if isinstance(q, RegexQuery):
+            return self.compile_regex(q)
+        if isinstance(q, RangeQuery):
+            return self.compile_range(q)
+        if isinstance(q, BoolQuery):
+            return self.compile_bool(q)
+        if isinstance(q, AllQuery):
+            return self.compile_all(q)
+        if isinstance(q, RawQuery):
+            from .raw import parse_raw
+
+            return self.compile(parse_raw(q.raw, self.ctx.schema))
+        raise QueryError(f"Unsupported query type: {type(q).__name__}")
+
+
+def _damerau(a: str, b: str, cap: int) -> int:
+    """Restricted Damerau-Levenshtein with early exit above ``cap``."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev2: list[int] = []
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cost = 0 if ca == cb else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if i > 1 and j > 1 and ca == b[j - 2] and a[i - 2] == cb:
+                cur[j] = min(cur[j], prev2[j - 2] + cost)
+        prev2, prev = prev, cur
+        if min(prev) > cap:
+            return cap + 1
+    return prev[len(b)]

@@ -40,32 +40,48 @@ def tf_norm_col(tf_col: Column, doclen_col: Column, avgdl: float) -> Column:
     return tf_col * F.lit(K1 + 1.0) / denom
 
 
+def tf_norm_dyn(tf_col: Column, doclen_col: Column, avgdl_col: Column) -> Column:
+    denom = tf_col + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B) * doclen_col / avgdl_col
+    )
+    return tf_col * F.lit(K1 + 1.0) / denom
+
+
 def bm25_score(
     matched: DataFrame,
     doclens: DataFrame,
     termstats: DataFrame,
     n_docs: int,
-    avgdl: float,
+    fieldstats: DataFrame | float,
     tf_mode: str = "full",
     as_f32: bool = False,
 ) -> DataFrame:
     """Score per-(doc, term) matches → per-doc summed BM25.
 
     ``matched``: rows (field, term, doc_id, tf).  Join shape: termstats
-    is tiny relative to postings (one row per distinct query term after
-    the semi-join) → broadcast; doclens joins on doc_id.  Output:
-    (doc_id, score).
+    restricted to the (few) query terms → broadcast; doclens joins on
+    (field, doc_id); fieldstats (field → avgdl, one row per field) →
+    broadcast.  Output: (doc_id, score).
     """
+    # No broadcast hint on termstats: the equi-join on (field, term)
+    # lets Catalyst propagate the matched side's term predicate into the
+    # termstats scan (InferFiltersFromConstraints), and AQE converts the
+    # shrunken side to a broadcast join at runtime.  A static broadcast
+    # hint here would ship the ENTIRE term dictionary.
     per_term_df = termstats.select("field", "term", "df")
     tf = F.lit(1.0) if tf_mode == "basic" else F.col("tf").cast("double")
-    scored = (
-        matched.join(F.broadcast(per_term_df), ["field", "term"])
-        .join(doclens, "doc_id")
-        .withColumn(
-            "part_score",
-            idf_col(n_docs, F.col("df").cast("double"))
-            * tf_norm_col(tf, F.col("doc_len").cast("double"), avgdl),
-        )
+    joined = matched.join(per_term_df, ["field", "term"]).join(
+        doclens, ["field", "doc_id"]
+    )
+    if isinstance(fieldstats, (int, float)):
+        avgdl_col = F.lit(float(fieldstats))
+    else:
+        joined = joined.join(F.broadcast(fieldstats), "field")
+        avgdl_col = F.col("avgdl")
+    scored = joined.withColumn(
+        "part_score",
+        idf_col(n_docs, F.col("df").cast("double"))
+        * tf_norm_dyn(tf, F.col("doc_len").cast("double"), avgdl_col),
     )
     agg = scored.groupBy("doc_id").agg(F.sum("part_score").alias("score"))
     if as_f32:
