@@ -1,0 +1,439 @@
+"""Driver-contract query suite: engine queries + DuckDB oracle SQL.
+
+Each entry runs the toshi_spark engine over the driver-provided test
+tables (``documents``/``embeddings``/``events`` parquet under an
+sf dir) and has a matching ANSI-SQL oracle that recomputes the same
+result from first principles in DuckDB.  Column names/rounding are
+aligned on both sides because the driver hash-compares values.
+
+Tokenization parity: the synthetic ``documents.text`` is ASCII
+``[a-z0-9 ]`` (verified), where the engine analyzer (Unicode-alnum
+runs, <40-byte, lowercase) coincides exactly with
+``regexp_split_to_array(lower(text), '[^a-z0-9]+')``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .engine import FullTextIndex
+from .index.builder import build_index
+from .query.dsl import parse_search
+from .schema import FieldSpec, IndexSchema
+from .scoring import bm25_score, topk
+
+K1_PLUS_1 = 2.2
+DOC_SCHEMA = IndexSchema(
+    [
+        FieldSpec("text", "text", stored=True, indexed=True, positions=True),
+        FieldSpec("lang", "text", stored=True, indexed=False),
+        FieldSpec("src_facet", "facet", stored=True, indexed=True),
+        FieldSpec("n_chars", "u64", stored=True, indexed=True, fast=True),
+    ]
+)
+
+_IX_CACHE: dict[tuple[str, int], FullTextIndex] = {}
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.concat(F.lit("/src/"), F.col("source")).alias("src_facet"),
+    )
+
+
+def get_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
+    key = (sf_dir, id(spark.sparkContext))
+    if key not in _IX_CACHE:
+        corpus = load_documents(spark, sf_dir)
+        _IX_CACHE[key] = FullTextIndex.build(
+            spark, corpus, DOC_SCHEMA, id_col="doc_id", name="documents"
+        )
+    return _IX_CACHE[key]
+
+
+def _r4(col: str = "score") -> F.Column:
+    return F.round(F.col(col), 4).alias(col)
+
+
+# --------------------------------------------------------------- queries
+
+def q_term_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-tf BM25 top-20 for one term (the flagship ranking path)."""
+    ix = get_index(spark, sf_dir)
+    matched = ix.postings.filter(
+        (F.col("field") == "text") & (F.col("term") == "spark")
+    )
+    scored = bm25_score(
+        matched, ix.doclens, ix.termstats, ix.n_docs, ix.fieldstats, tf_mode="full"
+    )
+    return topk(scored, 20).select("doc_id", _r4())
+
+
+def q_term_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toshi term query (tf treated as 1, Basic record option)."""
+    ix = get_index(spark, sf_dir)
+    df = ix.search_df(
+        parse_search({"query": {"term": {"text": "spark"}}, "limit": 20})
+    )
+    return df.select("doc_id", _r4())
+
+
+def q_term_union_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-union of three terms, summed BM25 (full tf), top-20."""
+    ix = get_index(spark, sf_dir)
+    matched = ix.postings.filter(
+        (F.col("field") == "text") & F.col("term").isin(["query", "window", "stream"])
+    )
+    scored = bm25_score(
+        matched, ix.doclens, ix.termstats, ix.n_docs, ix.fieldstats, tf_mode="full"
+    )
+    return topk(scored, 20).select("doc_id", _r4())
+
+
+def q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    df = ix.search_df(
+        parse_search(
+            {"query": {"phrase": {"text": {"terms": ["data", "query"]}}},
+             "limit": 1000}
+        )
+    )
+    return df.select("doc_id", _r4())
+
+
+def q_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    df = ix.search_df(
+        parse_search(
+            {
+                "query": {
+                    "bool": {
+                        "must": [{"term": {"text": "spark"}}],
+                        "must_not": [{"term": {"text": "slow"}}],
+                        "should": [{"term": {"text": "fast"}}],
+                    }
+                },
+                "limit": 10000,
+            }
+        )
+    )
+    return df.select("doc_id")
+
+
+def q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    df = ix.search_df(
+        parse_search(
+            {"query": {"range": {"n_chars": {"gte": 100, "lt": 200}}},
+             "limit": 10000}
+        )
+    )
+    return df.select("doc_id", _r4())
+
+
+def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    df = ix.search_df(
+        parse_search(
+            {"query": {"fuzzy": {"text": {"value": "spark", "distance": 1}}},
+             "limit": 10000}
+        )
+    )
+    return df.select("doc_id", _r4())
+
+
+def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    df = ix.search_df(
+        parse_search({"query": {"regex": {"text": "qu.*"}}, "limit": 10000})
+    )
+    return df.select("doc_id", _r4())
+
+
+def q_all_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-docs query sorted by the n_chars fast field (value-as-score)."""
+    ix = get_index(spark, sf_dir)
+    df = ix.search_df(parse_search({"limit": 10, "sort_by": "n_chars",
+                                    "query": None}))
+    return df.select("doc_id", _r4())
+
+
+def q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counting under /src for docs matching a term."""
+    ix = get_index(spark, sf_dir)
+    s = parse_search(
+        {"query": {"term": {"text": "spark"}}, "facets": {"src_facet": ["/src"]}}
+    )
+    rows = ix.facet_counts(s)
+    return spark.createDataFrame(
+        [(r["field"], r["value"]) for r in rows], "field string, value long"
+    )
+
+
+def q_termstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term dictionary with document frequencies (head of the Zipf curve)."""
+    ix = get_index(spark, sf_dir)
+    return ix.termstats.filter(F.col("df") >= 100).select("term", "df")
+
+
+def q_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix = get_index(spark, sf_dir)
+    return ix.doclens.select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep min doc_id per group."""
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5(F.encode(F.col("text"), "utf-8")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .select("content_hash", "keeper", "n_copies")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + alnum-run token counts per doc (pipeline text stats)."""
+    docs = load_documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_ws"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (ANN baseline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    dotted = emb.crossJoin(F.broadcast(qvec)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with("embedding", "qe",
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ).alias("dot"),
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ).alias("nx"),
+        F.aggregate(
+            F.transform("qe", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v,
+        ).alias("ny"),
+    )
+    cos = dotted.select(
+        "vec_id",
+        (F.col("dot") / (F.sqrt("nx") * F.sqrt("ny"))).alias("cos_sim"),
+    )
+    return (
+        cos.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization over the events stream table (30-min gap rule)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long"), 1).over(w)
+            > 1800
+        ).cast("int"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg((F.coalesce(F.sum("new_session"), F.lit(0)) + 1).alias("n_sessions"),
+             F.count("*").alias("n_events"))
+        .select("user_id", F.col("n_sessions").cast("long").alias("n_sessions"),
+                "n_events")
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+# shared CTE prelude: tokenize documents exactly like the engine analyzer
+_TOKS = """
+arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS a
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(a) AS tok,
+         unnest(range(0, len(a))) AS pos
+  FROM arr
+),
+doclens AS (
+  SELECT d.doc_id, len(a.a) AS dl FROM documents d JOIN arr a USING (doc_id)
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM doclens
+),
+post AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+dfs AS (
+  SELECT tok, count(*) AS df FROM post GROUP BY tok
+)
+"""
+
+_BM25 = (
+    "ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * "
+    "({tf} * 2.2) / ({tf} + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))"
+)
+
+
+def _bm25_sql(terms: list[str], tf_expr: str, k: int) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS}
+, scored AS (
+  SELECT p.doc_id, sum({_BM25.format(tf=tf_expr)}) AS raw_score
+  FROM post p JOIN dfs d USING (tok) JOIN doclens l USING (doc_id), stats s
+  WHERE p.tok IN ({tlist})
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+ORACLES: dict[str, str] = {
+    "ft_term_bm25": _bm25_sql(["spark"], "p.tf", 20),
+    "ft_term_basic": _bm25_sql(["spark"], "1.0", 20),
+    "ft_term_union_bm25": _bm25_sql(["query", "window", "stream"], "p.tf", 20),
+    "ft_phrase": f"""
+WITH {_TOKS}
+, t1 AS (SELECT doc_id, pos FROM toks WHERE tok = 'data'),
+t2 AS (SELECT doc_id, pos FROM toks WHERE tok = 'query'),
+ph AS (
+  SELECT t1.doc_id, count(*) AS tf
+  FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY t1.doc_id
+),
+idf AS (
+  SELECT sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS idf_sum
+  FROM dfs d, stats s WHERE d.tok IN ('data', 'query')
+)
+SELECT ph.doc_id,
+       round(i.idf_sum * (ph.tf * 2.2) /
+             (ph.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)), 4) AS score
+FROM ph JOIN doclens l USING (doc_id), stats s, idf i
+ORDER BY score DESC, doc_id LIMIT 1000
+""",
+    "ft_bool": f"""
+WITH {_TOKS}
+SELECT DISTINCT doc_id FROM toks WHERE tok = 'spark'
+  AND doc_id NOT IN (SELECT doc_id FROM toks WHERE tok = 'slow')
+""",
+    "ft_range": """
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+WHERE n_chars >= 100 AND n_chars < 200 ORDER BY doc_id
+""",
+    "ft_fuzzy": f"""
+WITH {_TOKS}
+, expanded AS (SELECT tok FROM dfs WHERE levenshtein(tok, 'spark') <= 1)
+SELECT DISTINCT p.doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM post p JOIN expanded e USING (tok)
+""",
+    "ft_regex": f"""
+WITH {_TOKS}
+, expanded AS (SELECT tok FROM dfs WHERE regexp_full_match(tok, 'qu.*'))
+SELECT DISTINCT p.doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM post p JOIN expanded e USING (tok)
+""",
+    "ft_all_sorted": """
+SELECT doc_id, round(CAST(n_chars AS DOUBLE), 4) AS score FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+""",
+    "ft_facets": f"""
+WITH {_TOKS}
+, matched AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'spark')
+SELECT concat('/src/', d.source) AS field, count(*) AS value
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY field
+""",
+    "ft_termstats": f"""
+WITH {_TOKS}
+SELECT tok AS term, df FROM dfs WHERE df >= 100
+""",
+    "ft_doclens": f"""
+WITH {_TOKS}
+SELECT doc_id, dl AS doc_len FROM doclens
+""",
+    "dedup_exact": """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    "token_count": """
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\\s+')) AS n_ws,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) AS n_tokens
+FROM documents
+""",
+    "ann_cosine": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         unnest((SELECT qe FROM q))::DOUBLE AS y
+  FROM embeddings e
+),
+s AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+      FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cos_sim
+FROM s ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id ASC LIMIT 10
+""",
+    "sessionize": """
+WITH g AS (
+  SELECT user_id, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+""",
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ft_term_bm25": q_term_bm25,
+    "ft_term_basic": q_term_basic,
+    "ft_term_union_bm25": q_term_union_bm25,
+    "ft_phrase": q_phrase,
+    "ft_bool": q_bool,
+    "ft_range": q_range,
+    "ft_fuzzy": q_fuzzy,
+    "ft_regex": q_regex,
+    "ft_all_sorted": q_all_sorted,
+    "ft_facets": q_facets,
+    "ft_termstats": q_termstats,
+    "ft_doclens": q_doclens,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "ann_cosine": q_ann_cosine,
+    "sessionize": q_sessionize,
+}
