@@ -1,0 +1,97 @@
+"""Block codec round-trips + block-max top-k rank identity."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from toshi_spark.fixtures import synth_webtext
+from toshi_spark.index.blocks import (
+    decode_blocks_df,
+    encode_blocks_df,
+    encode_run,
+    varint_decode,
+    varint_encode,
+)
+from toshi_spark.index.builder import build_index, salted_postings
+from toshi_spark.query.blockmax import blockmax_topk
+from toshi_spark.index.docmap import assign_doc_ids
+from toshi_spark.scoring import bm25_score, topk
+
+
+def test_varint_roundtrip_small():
+    vals = np.array([0, 1, 127, 128, 300, 2**20, 2**35, 2**63 - 1], dtype=np.uint64)
+    assert (varint_decode(varint_encode(vals)) == vals).all()
+
+
+def test_varint_empty():
+    assert varint_decode(varint_encode(np.empty(0, dtype=np.uint64))).size == 0
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=500))
+def test_varint_roundtrip_hypothesis(xs):
+    vals = np.array(xs, dtype=np.uint64)
+    assert (varint_decode(varint_encode(vals)) == vals).all()
+
+
+def test_encode_run_blocks_and_maxes():
+    docs = np.arange(0, 300, dtype=np.int64) * 7 + 3
+    tfs = (docs % 5 + 1).astype(np.int64)
+    blocks = encode_run(docs, tfs)
+    assert len(blocks) == 3  # 300 postings / 128
+    b0 = blocks[0]
+    assert b0[1] == 3 and b0[2] == docs[127] and b0[3] == 128
+    assert b0[4] == int(tfs[:128].max())
+    # round trip doc ids of block 0
+    deltas = varint_decode(b0[5]).astype(np.int64)
+    assert (np.cumsum(deltas) + b0[1] == docs[:128]).all()
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    corpus = assign_doc_ids(synth_webtext(spark, 300, seed=42), order_col="url")
+    ix = build_index(corpus, id_col="doc_id", text_fields="text")
+    salted = salted_postings(ix.postings, ix.termstats, df_threshold=150,
+                             n_salts=4)
+    blocks = encode_blocks_df(salted).persist()
+    return ix, blocks
+
+
+def test_blocks_roundtrip_full_postings(spark, built):
+    ix, blocks = built
+    decoded = decode_blocks_df(blocks)
+    a = sorted(
+        tuple(r) for r in decoded.select("term", "doc_id", "tf").collect()
+    )
+    b = sorted(
+        tuple(r) for r in ix.postings.select("term", "doc_id", "tf").collect()
+    )
+    assert a == b
+
+
+def test_salting_splits_head_terms(spark, built):
+    ix, blocks = built
+    n_salts = (
+        blocks.filter(F.col("term") == "w0")
+        .select("salt").distinct().count()
+    )
+    assert n_salts > 1  # w0 is a head term (df > 150 out of 300)
+
+
+@pytest.mark.parametrize("terms", [["w0"], ["w1", "w7"], ["w0", "w100", "w1999"]])
+def test_blockmax_rank_identity(spark, built, terms):
+    ix, blocks = built
+    k = 15
+    got = blockmax_topk(
+        blocks, ix.termstats, ix.doclens, ix.fieldstats, ix.n_docs,
+        "text", terms, k,
+    ).collect()
+    matched = ix.postings.filter(F.col("term").isin(terms))
+    want = topk(
+        bm25_score(matched, ix.doclens, ix.termstats, ix.n_docs, ix.fieldstats),
+        k,
+    ).collect()
+    assert [(r.doc_id) for r in got] == [(r.doc_id) for r in want]
+    for g, w in zip(got, want):
+        assert abs(g.score - w.score) < 1e-12

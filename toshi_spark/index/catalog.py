@@ -1,0 +1,285 @@
+"""Index catalog: the control plane over named indexes.
+
+Mirrors Toshi's ``IndexCatalog`` (``toshi-server/src/index.rs:15-19``):
+a map of name → index handle with create / list / summary / flush /
+refresh, plus the document-mutation surface (add_document,
+delete_term) from ``toshi-server/src/handle.rs:162-210`` and the
+HTTP handlers in ``handlers/index.rs`` / ``handlers/summary.rs``.
+
+On disk:
+
+    base/<name>/index.json        schema + settings
+    base/<name>/manifest.jsonl    committed segments (commit log)
+    base/<name>/segments/<id>/    segment payloads
+    base/<name>/tombstones/       delete-by-term tombstone parquet
+
+Deletes are tombstones (doc ids), anti-joined at query time —
+the Iceberg merge-on-read pattern; compaction folds them in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..engine import FullTextIndex
+from ..schema import FieldSpec, IndexSchema, QueryError
+from .builder import IndexTables, build_index
+from .segments import (
+    Manifest,
+    build_segments,
+    open_segmented_tables,
+    segment_id_for,
+    write_segment,
+)
+
+
+class IndexCatalog:
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+        os.makedirs(base_path, exist_ok=True)
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.base_path, name)
+
+    # ------------------------------------------------------------ create
+
+    def create_index(self, name: str, schema: IndexSchema | list[dict]) -> None:
+        """PUT /{index}/_create (handlers/index.rs:30-42)."""
+        if isinstance(schema, list):
+            if schema and "ftype" in schema[0]:
+                schema = IndexSchema([FieldSpec(**s) for s in schema])
+            else:  # Toshi schema-JSON shape {name, type, options}
+                schema = IndexSchema.from_json(schema)
+        idx_dir = self._dir(name)
+        if os.path.exists(os.path.join(idx_dir, "index.json")):
+            raise QueryError(f"Index: {name} already exists")
+        os.makedirs(idx_dir, exist_ok=True)
+        with open(os.path.join(idx_dir, "index.json"), "w") as f:
+            json.dump(
+                {
+                    "name": name,
+                    "created_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "opstamp": 0,
+                    "fields": [vars(s) for s in schema.fields],
+                },
+                f,
+            )
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._dir(name), "index.json"))
+
+    def _meta(self, name: str) -> dict:
+        if not self.exists(name):
+            raise QueryError(f"Unknown Index: '{name}' does not exist")
+        with open(os.path.join(self._dir(name), "index.json")) as f:
+            return json.load(f)
+
+    def _save_meta(self, name: str, meta: dict) -> None:
+        with open(os.path.join(self._dir(name), "index.json"), "w") as f:
+            json.dump(meta, f)
+
+    def schema(self, name: str) -> IndexSchema:
+        meta = self._meta(name)
+        return IndexSchema([FieldSpec(**s) for s in meta["fields"]])
+
+    # -------------------------------------------------------------- list
+
+    def list_indexes(self) -> list[str]:
+        """GET /_list — sorted, deduped (index.rs:51-56)."""
+        out = set()
+        for d in os.listdir(self.base_path):
+            if os.path.exists(os.path.join(self.base_path, d, "index.json")):
+                out.add(d)
+        return sorted(out)
+
+    def refresh_catalog(self) -> list[str]:
+        """Directory re-scan (index.rs:102-124); stateless here."""
+        return self.list_indexes()
+
+    # ------------------------------------------------------------ ingest
+
+    def ingest(
+        self,
+        name: str,
+        corpus: DataFrame,
+        id_col: str = "doc_id",
+        n_chunks: int = 1,
+        fingerprint: str = "v1",
+    ) -> int:
+        """Bulk ingest: chunked, resumable, all-or-nothing per chunk.
+
+        Mirrors _bulk semantics (handlers/bulk.rs): any failure leaves
+        the manifest untouched for the failing chunk (rollback).
+        Returns docs ingested.
+        """
+        schema = self.schema(name)
+        text_fields = [f.name for f in schema.text_fields()]
+        entries = build_segments(
+            self.spark, corpus, self._dir(name), id_col=id_col,
+            text_fields=text_fields, n_chunks=n_chunks,
+            index_name=name, fingerprint=fingerprint,
+        )
+        meta = self._meta(name)
+        meta["opstamp"] = 0  # commit resets the opstamp (handle.rs:62-70)
+        self._save_meta(name, meta)
+        return sum(e.docs for e in entries)
+
+    def add_document(self, name: str, doc: dict[str, Any],
+                     commit: bool = False) -> None:
+        """Single-doc add (handle.rs:162-182): micro-segment append.
+
+        Without commit=True the doc sits in a staging buffer (pending
+        NDJSON) and only becomes visible on flush — mirroring writer
+        buffering + ReloadPolicy::OnCommit.
+        """
+        pending = os.path.join(self._dir(name), "pending.jsonl")
+        with open(pending, "a") as f:
+            f.write(json.dumps(doc) + "\n")
+        meta = self._meta(name)
+        meta["opstamp"] = int(meta.get("opstamp", 0)) + 1
+        self._save_meta(name, meta)
+        if commit:
+            self.flush(name)
+
+    def flush(self, name: str) -> int:
+        """POST /{index}/_flush (handlers/summary.rs:35-46).
+
+        Builds a micro-segment from pending docs; returns the opstamp
+        before reset.
+        """
+        meta = self._meta(name)
+        opstamp = int(meta.get("opstamp", 0))
+        pending = os.path.join(self._dir(name), "pending.jsonl")
+        if os.path.exists(pending) and os.path.getsize(pending) > 0:
+            schema = self.schema(name)
+            with open(pending) as f:
+                docs = [json.loads(line) for line in f if line.strip()]
+            sdf = self.spark.createDataFrame(docs)
+            text_fields = [f.name for f in schema.text_fields()]
+            tables = build_index(sdf, id_col="doc_id",
+                                 text_fields=text_fields)
+            seg_id = segment_id_for(
+                name, f"flush-{len(Manifest(self._dir(name)).entries())}",
+                str(opstamp),
+            )
+            write_segment(self.spark, tables, self._dir(name), seg_id,
+                          opstamp=opstamp)
+            # stash the flushed rows so open() can serve stored fields
+            rowstore = os.path.join(self._dir(name), "rowstore")
+            sdf.write.mode("append").parquet(rowstore)
+            os.remove(pending)
+        meta["opstamp"] = 0
+        self._save_meta(name, meta)
+        return opstamp
+
+    def rollback(self, name: str) -> None:
+        """Discard uncommitted adds (bulk.rs:121-129)."""
+        pending = os.path.join(self._dir(name), "pending.jsonl")
+        if os.path.exists(pending):
+            os.remove(pending)
+        meta = self._meta(name)
+        meta["opstamp"] = 0
+        self._save_meta(name, meta)
+
+    # ------------------------------------------------------------ delete
+
+    def delete_term(self, name: str, terms: dict[str, str],
+                    commit: bool = False) -> int:
+        """DELETE /{index} (handle.rs:184-210): delete docs matching
+        each exact (field, term); returns docs_affected.
+
+        Implemented as tombstones: matching doc ids append to a
+        tombstone table that queries anti-join against.
+        """
+        ix = self.open(name)
+        matched = None
+        for field, value in terms.items():
+            ix.schema.require_indexed(field)
+            m = ix.postings.filter(
+                (F.col("field") == field) & (F.col("term") == value)
+            ).select("doc_id")
+            matched = m if matched is None else matched.union(m)
+        if matched is None:
+            return 0
+        matched = matched.distinct()
+        tomb_dir = os.path.join(self._dir(name), "tombstones")
+        existing = self._tombstones(name)
+        fresh = (
+            matched.join(existing, "doc_id", "left_anti")
+            if existing is not None
+            else matched
+        )
+        n = fresh.count()
+        if n:
+            fresh.write.mode("append").parquet(tomb_dir)
+        return n
+
+    def _tombstones(self, name: str) -> DataFrame | None:
+        tomb_dir = os.path.join(self._dir(name), "tombstones")
+        if os.path.exists(tomb_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(tomb_dir)
+        ):
+            return self.spark.read.parquet(tomb_dir)
+        return None
+
+    # ------------------------------------------------------------- open
+
+    def open(self, name: str, corpus: DataFrame | None = None) -> FullTextIndex:
+        """Open the committed view of an index as a query engine.
+
+        ``corpus`` optionally supplies the row store (stored fields);
+        otherwise the flushed rowstore parquet (if any) is used.
+        """
+        schema = self.schema(name)
+        tables = open_segmented_tables(self.spark, self._dir(name))
+        if corpus is None:
+            rowstore = os.path.join(self._dir(name), "rowstore")
+            if os.path.exists(rowstore):
+                corpus = self.spark.read.parquet(rowstore)
+            else:
+                corpus = tables.doclens.select("doc_id").distinct()
+        tomb = self._tombstones(name)
+        if tomb is not None:
+            tables = IndexTables(
+                postings=tables.postings.join(tomb, "doc_id", "left_anti"),
+                doclens=tables.doclens.join(tomb, "doc_id", "left_anti"),
+                termstats=tables.termstats,
+                fieldstats=tables.fieldstats,
+                n_docs=tables.n_docs,
+            )
+            corpus = corpus.join(tomb, "doc_id", "left_anti")
+        return FullTextIndex(self.spark, schema, corpus, tables,
+                             id_col="doc_id", name=name)
+
+    # ----------------------------------------------------------- summary
+
+    def index_summary(self, name: str, include_sizes: bool = False) -> dict:
+        """GET /{index}/_summary (handlers/summary.rs:17-33)."""
+        meta = self._meta(name)
+        entries = Manifest(self._dir(name)).entries()
+        out = {
+            "summaries": {
+                "index_name": name,
+                "segments": [e.segment_id for e in entries],
+                "opstamp": meta.get("opstamp", 0),
+                "num_docs": sum(e.docs for e in entries),
+            }
+        }
+        if include_sizes:
+            out["summaries"]["segment_sizes"] = {
+                e.segment_id: e.bytes for e in entries
+            }
+        return out
+
+    def delete_index(self, name: str) -> None:
+        if self.exists(name):
+            shutil.rmtree(self._dir(name))

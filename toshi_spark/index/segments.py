@@ -1,0 +1,284 @@
+"""Segment model: durable index chunks + manifest commit protocol.
+
+Mirrors the reference lifecycle (SURVEY.md §2.10): Tantivy segments are
+immutable chunks created per commit (``toshi-server/src/handle.rs:
+228-232``), with an opstamp counter reset on commit
+(``handle.rs:62-70``), readers that see only committed state
+(ReloadPolicy::OnCommit, ``handle.rs:232``), and rollback that discards
+uncommitted work (``handlers/bulk.rs:121-129``).
+
+Spark mapping:
+- a segment = a directory of parquet tables
+  (postings/blocks/doclens/termstats + stats.json + _metrics.jsonl)
+- commit = write to ``<seg>.staging`` → atomic rename → append one
+  JSON line to ``manifest.jsonl`` (the manifest append IS the commit
+  point; readers list the manifest, never the directory)
+- rollback = staging dir discarded, manifest untouched
+- resume = segment ids are content-addressed (index name + chunk id +
+  input fingerprint), so a re-run skips chunks already in the manifest
+  (north rule: builds resume from the last committed segment)
+- per-partition lineage: each segment records per-output-partition
+  docs/terms/postings/bytes in ``_metrics.jsonl``
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .blocks import encode_blocks_df
+from .builder import IndexTables, build_index, salted_postings
+
+
+@dataclass
+class ManifestEntry:
+    segment_id: str
+    opstamp: int
+    docs: int
+    terms: int
+    postings: int
+    bytes: int
+    committed_at: str
+
+    def to_json(self) -> dict:
+        return self.__dict__.copy()
+
+
+class Manifest:
+    """Append-only commit log (manifest.jsonl) for one index."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.path = os.path.join(index_dir, "manifest.jsonl")
+
+    def entries(self) -> list[ManifestEntry]:
+        if not os.path.exists(self.path):
+            return []
+        out = []
+        with open(self.path) as f:
+            for line in f:
+                if line.strip():
+                    out.append(ManifestEntry(**json.loads(line)))
+        return out
+
+    def committed_ids(self) -> set[str]:
+        return {e.segment_id for e in self.entries()}
+
+    def append(self, entry: ManifestEntry) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(entry.to_json()) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def replace_all(self, entries: list[ManifestEntry]) -> None:
+        """Atomic rewrite (used by merge compaction)."""
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            for e in entries:
+                f.write(json.dumps(e.to_json()) + "\n")
+        os.replace(tmp, self.path)
+
+
+def segment_id_for(index_name: str, chunk_key: str, fingerprint: str) -> str:
+    h = hashlib.md5(f"{index_name}:{chunk_key}:{fingerprint}".encode())
+    return f"seg-{h.hexdigest()[:16]}"
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def write_segment(
+    spark: SparkSession,
+    tables: IndexTables,
+    index_dir: str,
+    segment_id: str,
+    opstamp: int,
+    salt_df_threshold: int = 100_000,
+    n_salts: int = 16,
+    term_partitions: int | None = None,
+) -> ManifestEntry:
+    """Write one segment durably and commit it to the manifest.
+
+    Postings are range-partitioned by (field, term) and sorted within
+    partitions by (field, term, doc_id) — the layout that makes term
+    lookups prune files/row-groups via parquet min/max stats, the
+    engine's analogue of the term-dictionary access path.
+    """
+    seg_dir = os.path.join(index_dir, "segments", segment_id)
+    staging = seg_dir + ".staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    os.makedirs(staging, exist_ok=True)
+    if term_partitions is None:
+        term_partitions = spark.sparkContext.defaultParallelism
+
+    salted = salted_postings(
+        tables.postings, tables.termstats, salt_df_threshold, n_salts
+    )
+    arranged = salted.repartitionByRange(
+        term_partitions, F.col("field"), F.col("term"), F.col("salt")
+    ).sortWithinPartitions("field", "term", "salt", "doc_id")
+    arranged.write.mode("overwrite").parquet(f"{staging}/postings")
+
+    blocks = encode_blocks_df(arranged)
+    blocks.write.mode("overwrite").parquet(f"{staging}/blocks")
+
+    tables.doclens.write.mode("overwrite").parquet(f"{staging}/doclens")
+    tables.termstats.write.mode("overwrite").parquet(f"{staging}/termstats")
+
+    fieldstats = {
+        r["field"]: float(r["avgdl"]) for r in tables.fieldstats.collect()
+    }
+    n_terms = tables.termstats.count()
+    n_postings = tables.postings.count()
+    with open(f"{staging}/stats.json", "w") as f:
+        json.dump(
+            {"n_docs": tables.n_docs, "fieldstats": fieldstats,
+             "n_terms": n_terms, "n_postings": n_postings},
+            f,
+        )
+
+    # per-partition lineage metrics over the written postings layout
+    metrics = (
+        spark.read.parquet(f"{staging}/postings")
+        .groupBy(F.spark_partition_id().alias("partition"))
+        .agg(
+            F.count("*").alias("postings"),
+            F.approx_count_distinct("term").alias("terms"),
+            F.approx_count_distinct("doc_id").alias("docs"),
+        )
+        .collect()
+    )
+    with open(f"{staging}/_metrics.jsonl", "w") as f:
+        for r in metrics:
+            f.write(
+                json.dumps(
+                    {
+                        "segment_id": segment_id,
+                        "partition": r["partition"],
+                        "postings": r["postings"],
+                        "terms": r["terms"],
+                        "docs": r["docs"],
+                    }
+                )
+                + "\n"
+            )
+
+    seg_bytes = _dir_bytes(staging)
+    if os.path.exists(seg_dir):
+        shutil.rmtree(seg_dir)
+    os.replace(staging, seg_dir)  # atomic publish
+    entry = ManifestEntry(
+        segment_id=segment_id,
+        opstamp=opstamp,
+        docs=tables.n_docs,
+        terms=n_terms,
+        postings=n_postings,
+        bytes=seg_bytes,
+        committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    )
+    Manifest(index_dir).append(entry)
+    return entry
+
+
+def build_segments(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_fields: list[str] | str = "text",
+    n_chunks: int = 1,
+    index_name: str = "index",
+    fingerprint: str = "v1",
+    salt_df_threshold: int = 100_000,
+) -> list[ManifestEntry]:
+    """Chunked, resumable index build.
+
+    The corpus is split into ``n_chunks`` by doc-id hash range; each
+    chunk becomes one segment.  Chunks whose (content-addressed)
+    segment id is already committed are SKIPPED — that is the resume
+    path: kill the build after chunk i, rerun, and chunks ≤ i are not
+    recomputed (verified by tests/test_segments.py).
+    """
+    manifest = Manifest(index_dir)
+    done = manifest.committed_ids()
+    out = list(manifest.entries())
+    for chunk in range(n_chunks):
+        seg_id = segment_id_for(index_name, f"chunk{chunk}of{n_chunks}",
+                                fingerprint)
+        if seg_id in done:
+            continue
+        part = corpus.filter(
+            (F.col(id_col) % F.lit(n_chunks)) == F.lit(chunk)
+        )
+        tables = build_index(part, id_col=id_col, text_fields=text_fields)
+        entry = write_segment(
+            spark, tables, index_dir, seg_id, opstamp=chunk + 1,
+            salt_df_threshold=salt_df_threshold,
+        )
+        out.append(entry)
+    return out
+
+
+def open_segmented_tables(spark: SparkSession, index_dir: str) -> IndexTables:
+    """Read the union of committed segments as one logical index.
+
+    Readers consult ONLY the manifest (write/read isolation: a crashed
+    or in-flight build's staging dirs are invisible).  Stats are
+    re-aggregated across segments: df and doclens add; avgdl is the
+    doc-weighted mean.
+    """
+    manifest = Manifest(index_dir)
+    entries = manifest.entries()
+    if not entries:
+        raise FileNotFoundError(f"no committed segments in {index_dir}")
+    seg_dirs = [
+        os.path.join(index_dir, "segments", e.segment_id) for e in entries
+    ]
+    postings = spark.read.parquet(*[f"{d}/postings" for d in seg_dirs]).drop(
+        "salt"
+    )
+    doclens = spark.read.parquet(*[f"{d}/doclens" for d in seg_dirs])
+    termstats = (
+        spark.read.parquet(*[f"{d}/termstats" for d in seg_dirs])
+        .groupBy("field", "term")
+        .agg(F.sum("df").alias("df"))
+    )
+    n_docs = 0
+    for d in seg_dirs:
+        with open(f"{d}/stats.json") as f:
+            n_docs += json.load(f)["n_docs"]
+    fieldstats = doclens.groupBy("field").agg(F.avg("doc_len").alias("avgdl"))
+    return IndexTables(
+        postings=postings,
+        doclens=doclens,
+        termstats=termstats,
+        fieldstats=fieldstats,
+        n_docs=n_docs,
+    )
+
+
+def open_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
+    manifest = Manifest(index_dir)
+    seg_dirs = [
+        os.path.join(index_dir, "segments", e.segment_id)
+        for e in manifest.entries()
+    ]
+    return spark.read.parquet(*[f"{d}/blocks" for d in seg_dirs]).withColumn(
+        # segment id disambiguates block keys across segments (the
+        # block-max path dedupes on the block key)
+        "seg",
+        F.regexp_extract(F.input_file_name(), r"segments/([^/]+)/blocks", 1),
+    )
