@@ -1,0 +1,192 @@
+"""Pipeline operators: dedup, similarity, text stats, multimodal, streaming."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from toshi_spark.pipeline.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from toshi_spark.pipeline.multimodal import (
+    attach_binary,
+    decode_image,
+    extract_features,
+)
+from toshi_spark.pipeline.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+    rh_signatures,
+)
+from toshi_spark.pipeline.textstats import fingerprint, lang_id, quality_score
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup
+        (3, "completely different content about spark and indexes here"),
+        (4, "another unrelated document mentioning nothing similar at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(near_dup_docs):
+    rows = exact_dedup(near_dup_docs).collect()
+    groups = {r.keeper: r.n_copies for r in rows}
+    assert groups[0] == 2  # docs 0 and 1 collapse
+    assert len(rows) == 4
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_docs):
+    pairs = minhash_dedup(near_dup_docs, n_hashes=8, n_bands=4,
+                          threshold=0.3).collect()
+    got = {(r.a, r.b) for r in pairs}
+    assert (0, 1) in got  # exact dup always collides
+    assert all(
+        p in {(0, 1), (0, 2), (1, 2)} for p in got
+    ), f"false positives: {got}"
+    j = {(r.a, r.b): r.jaccard for r in pairs}
+    assert j[(0, 1)] == 1.0
+
+
+def test_minhash_deterministic(near_dup_docs):
+    s1 = {tuple(r) for r in minhash_signatures(near_dup_docs).collect()}
+    s2 = {tuple(r) for r in minhash_signatures(near_dup_docs).collect()}
+    assert s1 == s2
+
+
+def test_lsh_bucket_cap(near_dup_docs):
+    sigs = minhash_signatures(near_dup_docs)
+    none = lsh_candidate_pairs(sigs, max_bucket_size=1).collect()
+    assert none == []  # every bucket capped away
+
+
+def test_ngram_jaccard_direct(spark, near_dup_docs):
+    cands = spark.createDataFrame([(0, 2), (0, 3)], "a long, b long")
+    rows = ngram_jaccard_pairs(near_dup_docs, cands, threshold=0.0).collect()
+    j = {(r.a, r.b): r.jaccard for r in rows}
+    assert j[(0, 2)] > 0.3
+    assert j.get((0, 3), 0.0) < 0.1
+
+
+def test_simhash_similarity(near_dup_docs):
+    rows = {r.doc_id: r.simhash for r in simhash(near_dup_docs).collect()}
+    assert rows[0] == rows[1]  # identical docs → identical signature
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(rows[0], rows[2]) < ham(rows[0], rows[3])
+
+
+def test_cosine_topk_self_first(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = cosine_topk(emb, query_vec_id=0, k=5).collect()
+    assert rows[0].vec_id == 0 and abs(rows[0].cos_sim - 1.0) < 1e-9
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_ann_contains_query_and_subsets_brute(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sigs = rh_signatures(emb, n_planes=6)
+    assert sigs.count() == emb.count()
+    ann = lsh_cosine_topk(emb, query_vec_id=0, k=5, n_planes=6).collect()
+    assert ann[0].vec_id == 0  # query in its own bucket
+    # every ANN hit must have its true cosine equal to the brute-force
+    # score for the same vec_id
+    brute = {
+        r.vec_id: r.cos_sim
+        for r in cosine_topk(emb, query_vec_id=0, k=500).collect()
+    }
+    for r in ann:
+        assert abs(brute[r.vec_id] - r.cos_sim) < 1e-9
+
+
+def test_lang_id_and_quality(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and the dog ran to the park "
+                "in a big field of grass for a while"),
+            (1, "zzz qqq www eee rrr"),
+        ],
+        "doc_id long, text string",
+    )
+    lid = {r.doc_id: r for r in lang_id(docs).collect()}
+    assert lid[0].pred == "en" and lid[0].en_ratio > 0.2
+    assert lid[1].pred == "und"
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert q[0].quality > q[1].quality
+    assert q[0].n_tokens == 22  # count the tokens: 22 words in doc 0
+
+
+def test_fingerprint_shift_invariant_ish(spark):
+    docs = spark.createDataFrame(
+        [(0, "abcdefghij klmnopqrst"), (1, "XX abcdefghij klmnopqrst"),
+         (2, "totally different text")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    # shared 8-gram universe → prefix-shifted doc often shares the min
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_multimodal_features(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    feats = extract_features(attach_binary(docs)).collect()
+    assert len(feats) == 50
+    r = feats[0]
+    assert len(r.feat) == 8
+    assert abs(sum(r.feat) - 1.0) < 1e-9  # normalized histogram
+    assert r.n_bytes > 0 and len(r.content_hash) == 32
+
+
+def test_multimodal_decode_stub_gated():
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; stub not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")
+
+
+def test_stream_ingest_autocommit(spark, tmp_path_factory):
+    import json
+    import os
+
+    from toshi_spark.index.segments import Manifest, open_segmented_tables
+    from toshi_spark.streaming.autocommit import stream_ingest
+
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    idx = str(tmp_path_factory.mktemp("stream_ix"))
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"doc_id": i, "text": f"hello world w{i}"}) + "\n")
+    q = stream_ingest(spark, src, "doc_id long, text string", idx,
+                      index_name="s", available_now=True)
+    assert not q.isActive
+    entries = Manifest(idx).entries()
+    assert len(entries) == 1 and entries[0].docs == 10
+    # second batch of files → second committed segment, first untouched
+    with open(os.path.join(src, "b.json"), "w") as f:
+        for i in range(10, 15):
+            f.write(json.dumps({"doc_id": i, "text": f"more text w{i}"}) + "\n")
+    stream_ingest(spark, src, "doc_id long, text string", idx,
+                  index_name="s", available_now=True)
+    entries = Manifest(idx).entries()
+    assert len(entries) == 2
+    tables = open_segmented_tables(spark, idx)
+    assert tables.n_docs == 15
+    hello_df = tables.termstats.filter(F.col("term") == "hello").collect()
+    assert hello_df[0]["df"] == 10

@@ -1,0 +1,215 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design notes for 100 TB:
+- exact dedup is a hash groupBy (map-side partial agg → one shuffle of
+  (hash, id) pairs, not documents).
+- MinHash signatures are computed entirely JVM-side: tokens → word
+  shingles (higher-order array ops) → per-hash min of md5(i:shingle).
+  No UDF, no shuffle until the band join.
+- LSH banding turns all-pairs similarity into an equi-join on
+  (band_id, band_hash): the classic trick that makes near-dup
+  detection linear-ish in corpus size.  The band join IS the shuffle;
+  skewed buckets (boilerplate text) can be capped via
+  ``max_bucket_size``.
+- SimHash packs a 32-bit signature with per-bit weighted sums —
+  one explode + one groupBy (partial-agg friendly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+TOKENIZE_PATTERN = "[^a-z0-9]+"
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """ASCII-lowered token array (JVM-side analyzer for pipeline ops)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKENIZE_PATTERN),
+        lambda t: t != "",
+    )
+
+
+def shingles_col(tokens: Column, k: int = 3) -> Column:
+    """Word k-gram shingles: slice windows joined by a space."""
+    n = F.size(tokens)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda j: F.array_join(F.slice(tokens, j + 1, k), " "),
+    )).otherwise(F.array(F.array_join(tokens, " ")))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(content_hash, keeper, n_copies): one row per distinct content."""
+    return (
+        docs.groupBy(
+            F.md5(F.encode(F.col(text_col), "utf-8")).alias("content_hash")
+        )
+        .agg(F.min(id_col).alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature columns mh_0..mh_{n-1} (hex strings).
+
+    min over shingles of md5("{i}:{shingle}") is a valid per-hash-family
+    min-wise hash; hex-string ordering equals byte ordering.
+    """
+    sh = shingles_col(tokens_col(text_col), shingle_k)
+    out = docs.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
+
+    def mh_expr(i: int):
+        # NOTE: the lambda must take exactly one parameter — a second
+        # (even a default) makes PySpark bind the array-index variant
+        # of transform()
+        def one_arg(s):
+            return F.md5(F.encode(F.concat(F.lit(f"{i}:"), s), "utf-8"))
+
+        return F.array_min(F.transform(F.col("sh"), one_arg))
+
+    for i in range(n_hashes):
+        out = out.withColumn(f"mh_{i}", mh_expr(i))
+    return out.drop("sh")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate (a, b) pairs.
+
+    rows_per_band = n_hashes / n_bands; a pair collides if any band's
+    concatenated minhashes match.  Buckets above ``max_bucket_size``
+    (boilerplate) are dropped — the standard skew guard; at 100 TB this
+    is what keeps one "lorem ipsum" bucket from producing 10^12 pairs.
+    """
+    rows_per_band = n_hashes // n_bands
+    banded = None
+    for b in range(n_bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        part = signatures.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.encode(F.concat_ws("|", *cols), "utf-8")).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    sized = banded.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band", "bucket")),
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select("band", "bucket", F.col("doc_id").alias("a"))
+    b = sized.select("band", "bucket", F.col("doc_id").alias("b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard.
+
+    Exploded distinct shingles joined per pair: |A∩B| via a join on
+    (pair, shingle); |A∪B| = |A|+|B|−|A∩B|.  Only candidate pairs are
+    verified (LSH prunes the quadratic blowup).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(shingles_col(tokens_col(text_col), shingle_k))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pa = candidates.join(sh.withColumnRenamed("doc_id", "a"), "a").select(
+        "a", "b", "shingle"
+    )
+    inter = (
+        pa.join(
+            sh.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"]
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"),
+                                F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → Jaccard."""
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, n_hashes, n_bands)
+    return ngram_jaccard_pairs(docs, cands, id_col, text_col, shingle_k,
+                               threshold)
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash signature (bigint): sign of tf-weighted bit sums.
+
+    Token hash = first 8 hex chars of md5 (32 bits); for each bit b the
+    doc accumulates +tf when the bit is set, −tf otherwise; signature
+    bit b = (sum > 0).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    hashed = toks.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.encode(F.col("tok"), "utf-8")), 1, 8),
+               16, 10).cast("long"),
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"s{b}") > 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return sums.select("doc_id", sig.alias("simhash"))

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force baseline — one broadcast of the
+  query vector, JVM-side zip_with/aggregate dot products, distributed
+  TakeOrdered top-k.  At 100 TB this scans everything (the correctness
+  baseline).
+- ``rh_signatures`` / ``lsh_cosine_topk``: the scale path — random
+  hyperplane LSH.  Plane coefficients are ±1 derived deterministically
+  from md5 parity (reproducible on any engine, incl. the SQL oracle);
+  vectors hash to a ``n_planes``-bit bucket; queries only score their
+  own bucket (optionally multi-probe neighbors at hamming distance 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs one stored vector (brute force)."""
+    qvec = emb.filter(F.col(id_col) == query_vec_id).select(
+        _as_double(F.col(vec_col)).alias("qe")
+    )
+    v = _as_double(F.col(vec_col))
+    scored = emb.crossJoin(F.broadcast(qvec)).select(
+        F.col(id_col).alias("vec_id"),
+        (
+            _dot(v, F.col("qe"))
+            / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+        ).alias("cos_sim"),
+    )
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def plane_coef(p, i):
+    """Deterministic ±1 coefficient for plane p, dimension i (md5 parity)."""
+    first_byte = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat_ws(":", p.cast("string"),
+                                       i.cast("string")), "utf-8")),
+            1, 2,
+        ),
+        16, 10,
+    ).cast("int")
+    return F.when(first_byte % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def rh_signatures(
+    emb: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): random-hyperplane sign bucket per vector.
+
+    Plane p's projection = Σ_i coef(p,i)·v[i]; bit p = projection > 0.
+    Computed via posexplode + broadcast plane join + two-level agg —
+    shuffle volume is (rows × n_planes) small ints.
+    """
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+    planes = spark.range(n_planes).alias("p").crossJoin(
+        spark.range(dim).alias("d")
+    ).select(
+        F.col("p.id").cast("int").alias("plane"),
+        F.col("d.id").cast("int").alias("dim_idx"),
+        plane_coef(F.col("p.id"), F.col("d.id")).alias("coef"),
+    )
+    exploded = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("dim_idx", "x"),
+    )
+    proj = (
+        exploded.join(F.broadcast(planes), "dim_idx")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("x") * F.col("coef")).alias("proj"))
+    )
+    bucket = (
+        proj.withColumn(
+            "bit",
+            F.when(F.col("proj") > 0,
+                   F.expr("shiftleft(CAST(1 AS BIGINT), plane)"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bit").cast("long").alias("bucket"))
+    )
+    return bucket
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: score only vectors sharing the query's LSH bucket."""
+    sigs = rh_signatures(emb, n_planes, id_col, vec_col)
+    qb = sigs.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cand_ids = (
+        sigs.crossJoin(F.broadcast(qb))
+        .filter(F.col("bucket") == F.col("qbucket"))
+        .select(F.col("vec_id").alias("cand_id"))
+    )
+    cand = emb.join(cand_ids, emb[id_col] == cand_ids["cand_id"],
+                    "left_semi")
+    return cosine_topk(cand, query_vec_id, k, id_col, vec_col)

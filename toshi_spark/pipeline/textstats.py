@@ -1,0 +1,106 @@
+"""Text analysis for pipeline filtering: language ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+All JVM-side column algebra (no UDFs): these run per document over the
+full corpus, so they must stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import tokens_col
+
+EN_STOPWORDS = [
+    "the", "a", "of", "and", "in", "to", "is", "it", "that", "for",
+]
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language-ID heuristic → (doc_id, en_ratio, pred).
+
+    Real pipelines plug in fastText/CLD; the operator shape (per-doc
+    ratio features → argmax label, all vectorized) is what matters.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    en = _stopword_hits(toks, EN_STOPWORDS)
+    ratio = F.when(n > 0, en / n).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(ratio, 4).alias("en_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("pred"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a composite score.
+
+    Features: token count, mean token length, stopword ratio,
+    non-alnum (punct/space) character ratio, digit ratio.  The
+    composite mirrors common webtext quality filters (length band +
+    stopword presence − symbol noise).
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    alnum_chars = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    )
+    digit_chars = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    mean_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0, _stopword_hits(toks, EN_STOPWORDS) / n_tokens
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, (n_chars - alnum_chars) / n_chars
+    ).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digit_chars / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    length_ok = (n_tokens >= 10) & (n_tokens <= 5000)
+    score = (
+        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.least(stop_ratio * F.lit(5.0), F.lit(0.3))
+        - F.least(punct_ratio, F.lit(0.2))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_tok_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", gram: int = 8) -> DataFrame:
+    """Content fingerprint: min over character n-gram hashes.
+
+    The rolling-hash/winnowing family collapsed to its min-hash core:
+    fp = min_i md5(text[i:i+gram]) — shift-invariant, locality-robust,
+    computed with sequence+transform+array_min (zero UDF).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - gram + 1, F.lit(1))),
+        lambda i: F.md5(F.encode(t.substr(i, F.lit(gram)), "utf-8")),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(grams).alias("fingerprint"),
+    )

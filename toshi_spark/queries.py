@@ -437,3 +437,340 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine": q_ann_cosine,
     "sessionize": q_sessionize,
 }
+
+
+# ===================================================== pipeline queries
+
+from .index.builder import salted_postings  # noqa: E402
+from .index.blocks import encode_blocks_df  # noqa: E402
+from .pipeline.dedup import (  # noqa: E402
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .pipeline.multimodal import attach_binary, extract_features  # noqa: E402
+from .pipeline.similarity import cosine_topk, rh_signatures  # noqa: E402
+from .pipeline.textstats import fingerprint, lang_id, quality_score  # noqa: E402
+from .query.blockmax import blockmax_topk  # noqa: E402
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ 10 injected exact duplicates (ids shifted by 10000) —
+    guarantees the near-dup queries have known positives."""
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+_DOCS_AUG_SQL = """
+docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 10
+)
+"""
+
+_SHINGLES_SQL = """
+aug_arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS a
+  FROM docs_aug
+),
+aug_sh AS (
+  SELECT doc_id,
+         CASE WHEN len(a) >= 3 THEN
+           list_transform(range(0, len(a) - 2),
+                          j -> array_to_string(a[j+1:j+3], ' '))
+         ELSE [array_to_string(a, ' ')] END AS shingles
+  FROM aug_arr
+)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs_with_dups(spark, sf_dir), n_hashes=4)
+    return sigs.select("doc_id", "mh_0", "mh_1", "mh_2", "mh_3")
+
+
+def _mh_sql_cols(n: int) -> str:
+    return ",\n  ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(n)
+    )
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs_with_dups(spark, sf_dir), n_hashes=8)
+    return lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=8)
+    cands = lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4)
+    return ngram_jaccard_pairs(docs, cands, threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_documents(spark, sf_dir), bits=16)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return rh_signatures(emb, n_planes=8)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_documents(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_documents(spark, sf_dir))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = extract_features(attach_binary(load_documents(spark, sf_dir)))
+    return feats.select("doc_id", "n_bytes", "content_hash")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level feature vectors (rows-only check: no SQL oracle)."""
+    feats = extract_features(attach_binary(load_documents(spark, sf_dir)))
+    return feats.select(
+        "doc_id", F.round(F.element_at("feat", 1), 4).alias("feat0"),
+        F.size("feat").alias("n_dims"),
+    )
+
+
+def q_blockmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-terms BM25 via the compressed block-max path.
+
+    Oracle = plain BM25 SQL: proves blocks encode/decode + pruning are
+    lossless end-to-end.
+    """
+    ix = get_index(spark, sf_dir)
+    salted = salted_postings(ix.postings, ix.termstats, df_threshold=200,
+                             n_salts=4)
+    blocks = encode_blocks_df(salted)
+    out = blockmax_topk(
+        blocks, ix.termstats, ix.doclens, ix.fieldstats, ix.n_docs,
+        "text", ["query", "window", "stream"], 20,
+    )
+    return out.select("doc_id", _r4())
+
+
+_SIMHASH_BITS = 16
+_simhash_sums = ",\n  ".join(
+    f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_simhash_pack = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END"
+    for b in range(_SIMHASH_BITS)
+)
+
+ORACLES.update(
+    {
+        "minhash_signatures": f"""
+WITH {_DOCS_AUG_SQL}, {_SHINGLES_SQL}
+SELECT doc_id,
+  {_mh_sql_cols(4)}
+FROM aug_sh
+""",
+        "lsh_pairs": f"""
+WITH {_DOCS_AUG_SQL}, {_SHINGLES_SQL}
+, sigs AS (
+  SELECT doc_id, {_mh_sql_cols(8)} FROM aug_sh
+),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sigs
+  UNION ALL
+  SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sigs
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bucket_n FROM banded
+),
+kept AS (SELECT * FROM sized WHERE bucket_n <= 1000)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM kept x JOIN kept y ON x.band = y.band AND x.bucket = y.bucket
+WHERE x.doc_id < y.doc_id
+""",
+        "ngram_jaccard": f"""
+WITH {_DOCS_AUG_SQL}, {_SHINGLES_SQL}
+, sigs AS (
+  SELECT doc_id, {_mh_sql_cols(8)} FROM aug_sh
+),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.doc_id < y.doc_id
+),
+shset AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM aug_sh
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shset GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN shset sa ON sa.doc_id = c.a
+  JOIN shset sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       round(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 4) AS jaccard
+FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+""",
+        "simhash": f"""
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS a
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(a) AS tok FROM arr),
+tfs AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+h AS (
+  SELECT doc_id, tf,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT) AS hv
+  FROM tfs
+),
+sums AS (
+  SELECT doc_id,
+  {_simhash_sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_simhash_pack} AS BIGINT) AS simhash FROM sums
+""",
+        "ann_lsh_buckets": """
+WITH planes AS (
+  SELECT p.range AS plane, d.range AS dim_idx,
+         CASE WHEN CAST(('0x' || substr(
+                md5(p.range::VARCHAR || ':' || d.range::VARCHAR), 1, 2))
+              AS INTEGER) % 2 = 0
+         THEN 1.0 ELSE -1.0 END AS coef
+  FROM range(8) p, range(64) d
+),
+exploded AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         unnest(range(0, len(embedding))) AS dim_idx
+  FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, p.plane, sum(e.x * p.coef) AS proj
+  FROM exploded e JOIN planes p USING (dim_idx)
+  GROUP BY e.vec_id, p.plane
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << plane
+                ELSE 0 END) AS BIGINT) AS bucket
+FROM proj GROUP BY vec_id
+""",
+        "lang_id": """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS a
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN len(a) > 0 THEN
+           len(list_filter(a, t -> list_contains(
+             ['the','a','of','and','in','to','is','it','that','for'], t)))
+           * 1.0 / len(a)
+         ELSE 0.0 END AS ratio
+  FROM arr
+)
+SELECT doc_id, round(ratio, 4) AS en_ratio,
+       CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'und' END AS pred
+FROM r
+""",
+        "quality": """
+WITH arr AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS a
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    len(a) AS n_tokens,
+    CASE WHEN len(a) > 0 THEN
+      list_sum(list_transform(a, t -> length(t))) * 1.0 / len(a)
+    ELSE 0.0 END AS mean_tok_len,
+    CASE WHEN len(a) > 0 THEN
+      len(list_filter(a, t -> list_contains(
+        ['the','a','of','and','in','to','is','it','that','for'], t)))
+      * 1.0 / len(a)
+    ELSE 0.0 END AS stop_ratio,
+    CASE WHEN length(text) > 0 THEN
+      (length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')))
+      * 1.0 / length(text)
+    ELSE 0.0 END AS punct_ratio,
+    CASE WHEN length(text) > 0 THEN
+      length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
+    ELSE 0.0 END AS digit_ratio
+  FROM arr
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(mean_tok_len, 4) AS mean_tok_len,
+  round(stop_ratio, 4) AS stop_ratio,
+  round(punct_ratio, 4) AS punct_ratio,
+  round(digit_ratio, 4) AS digit_ratio,
+  round(
+    (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END)
+    + least(stop_ratio * 5.0, 0.3) - least(punct_ratio, 0.2), 4
+  ) AS quality
+FROM feat
+""",
+        "fingerprint": """
+SELECT doc_id,
+  list_min(list_transform(
+    range(1, greatest(length(text) - 7, 1) + 1),
+    i -> md5(substr(text, CAST(i AS INTEGER), 8))
+  )) AS fingerprint
+FROM documents
+""",
+        "multimodal_meta": """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+""",
+        "ft_blockmax_topk": _bm25_sql(["query", "window", "stream"], "p.tf", 20),
+    }
+)
+
+QUERIES.update(
+    {
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,  # rows-only check
+        "ft_blockmax_topk": q_blockmax_topk,
+    }
+)

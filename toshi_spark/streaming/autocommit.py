@@ -1,0 +1,76 @@
+"""Auto-commit ingest: Structured Streaming micro-batches → segments.
+
+Mirrors Toshi's auto-commit watcher (``toshi-server/src/commit.rs:
+11-28``): a background tick commits pending writes every
+``auto_commit_duration`` seconds unless a bulk is in flight.  The
+Spark-native equivalent is a file-source stream with a processing-time
+trigger where each micro-batch becomes one committed segment
+(foreachBatch → build + manifest append); readers see data exactly at
+commit boundaries (ReloadPolicy::OnCommit ≡ reading only committed
+manifest entries).
+
+``availableNow`` drives the same code path to completion synchronously
+for tests and backfills.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..index.builder import build_index
+from ..index.segments import segment_id_for, write_segment
+
+
+def stream_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_fields: list[str] | str = "text",
+    index_name: str = "stream",
+    checkpoint_dir: str | None = None,
+    trigger_seconds: float | None = None,
+    available_now: bool = True,
+):
+    """readStream(json dir) → one segment per non-empty micro-batch.
+
+    Returns the StreamingQuery; callers stop() it (or it drains fully
+    under availableNow).  Streaming checkpointing (offsets) composes
+    with our manifest: offsets say WHAT was read, the manifest says
+    WHAT was committed — a batch id is baked into the segment id, so a
+    replayed batch overwrites idempotently instead of duplicating.
+    """
+    if checkpoint_dir is None:
+        checkpoint_dir = index_dir + "/_stream_checkpoint"
+
+    src = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", 16)
+        .json(source_dir)
+    )
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tables = build_index(batch_df, id_col=id_col,
+                             text_fields=text_fields)
+        seg_id = segment_id_for(index_name, f"batch-{batch_id}", "stream")
+        write_segment(spark, tables, index_dir, seg_id,
+                      opstamp=batch_id + 1)
+
+    writer = (
+        src.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    q = writer.start()
+    if available_now:
+        while q.isActive:
+            time.sleep(0.2)
+    return q
