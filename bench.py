@@ -57,10 +57,12 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
     docs_per_sec = n_docs / build_sec if build_sec > 0 else 0.0
 
-    # ---- query latencies (warm index)
+    # ---- query latencies: one untimed warmup (JIT + python worker
+    # spin-up), then the timed steady-state run — the serving metric
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
+        fn(spark, sf_dir).collect()
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)

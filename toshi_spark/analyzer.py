@@ -69,62 +69,117 @@ def terms_only(text: str) -> list[str]:
     return [t for t, _ in tokenize(text)]
 
 
+def analyze_doc(text: str) -> tuple[dict[str, list[int]], int]:
+    """One doc → (term → positions, doc_len).  Single-pass, no tuples.
+
+    doc_len counts KEPT tokens (post RemoveLongFilter) — the fieldnorm
+    semantics pinned by the rank-identity oracle; positions still index
+    the raw stream (dropped tokens leave gaps).
+    """
+    agg: dict[str, list[int]] = {}
+    kept = 0
+    limit = TOKEN_BYTE_LIMIT
+    for pos, tok in enumerate(raw_tokens(text)):
+        if len(tok.encode("utf-8")) < limit:
+            agg.setdefault(tok.lower(), []).append(pos)
+            kept += 1
+    return agg, kept
+
+
+def analyze_arrow_batches(
+    batches,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    field: str = "text",
+):
+    """mapInArrow kernel: (id, text) RecordBatches → per-(doc, term) rows.
+
+    Emits one output row per distinct term per document — the map-side
+    partial aggregation of the inverted index.  Doing the doc-local
+    (term → tf, positions) aggregation here (instead of exploding one
+    row per token and shuffling) shrinks shuffle volume by the average
+    term frequency — at 100 TB that is the difference between shuffling
+    ~#tokens rows and ~#distinct-(doc,term) rows.
+
+    Arrow-native output: positions are built as ONE flat int32 buffer +
+    offsets (pa.ListArray.from_arrays), not per-row Python lists — this
+    is what keeps the Python→JVM hop at memcpy speed instead of
+    object-conversion speed.
+
+    Output schema: doc_id long, field string, term string, tf int,
+    positions array<int>, doc_len int (doc_len repeated per row so
+    doclens reduces without a second corpus scan; empty docs emit one
+    tf=0 sentinel row).
+    """
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("field", pa.string()),
+            ("term", pa.string()),
+            ("tf", pa.int32()),
+            ("positions", pa.list_(pa.int32())),
+            ("doc_len", pa.int32()),
+        ]
+    )
+    for batch in batches:
+        ids_in = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
+        texts = batch.column(batch.schema.get_field_index(text_col)).to_pylist()
+        ids: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        lens: list[int] = []
+        offsets: list[int] = [0]
+        flat_pos: list[int] = []
+        for doc_id, text in zip(ids_in, texts):
+            agg, n = analyze_doc(text if isinstance(text, str) else "")
+            if not agg:
+                ids.append(doc_id)
+                terms.append("")
+                tfs.append(0)
+                lens.append(0)
+                offsets.append(len(flat_pos))
+                continue
+            for term, plist in agg.items():
+                ids.append(doc_id)
+                terms.append(term)
+                tfs.append(len(plist))
+                lens.append(n)
+                flat_pos.extend(plist)
+                offsets.append(len(flat_pos))
+        n_rows = len(ids)
+        arr_pos = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(flat_pos, type=pa.int32()),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array([field] * n_rows, type=pa.string()),
+                pa.array(terms, type=pa.string()),
+                pa.array(tfs, type=pa.int32()),
+                arr_pos,
+                pa.array(lens, type=pa.int32()),
+            ],
+            schema=out_schema,
+        )
+
+
 def analyze_partition(
     batches: Iterator[pd.DataFrame],
     id_col: str = "doc_id",
     text_col: str = "text",
     field: str = "text",
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: (id, text) batches → per-(doc, term) postings.
+    """mapInPandas-compatible wrapper over the Arrow kernel (tests)."""
+    import pyarrow as pa
 
-    Emits one output row per distinct term per document — the map-side
-    partial aggregation of the inverted index.  Doing the doc-local
-    (term → tf, positions) aggregation here (instead of exploding one
-    row per token and shuffling) shrinks shuffle volume by the average
-    term frequency, which is the difference between shuffling ~#tokens
-    rows and ~#distinct-(doc,term) rows at 100 TB.
-
-    Output schema: doc_id long, field string, term string, tf int,
-    positions array<int>, doc_len int (doc_len repeated per row for a
-    downstream doclens reduction without a second scan).
-    """
     for pdf in batches:
-        ids: list[int] = []
-        fields: list[str] = []
-        terms: list[str] = []
-        tfs: list[int] = []
-        positions: list[list[int]] = []
-        lens: list[int] = []
-        for doc_id, text in zip(pdf[id_col].values, pdf[text_col].values):
-            toks = tokenize(text if isinstance(text, str) else "")
-            agg: dict[str, list[int]] = {}
-            for term, pos in toks:
-                agg.setdefault(term, []).append(pos)
-            n = len(toks)
-            for term, plist in agg.items():
-                ids.append(int(doc_id))
-                fields.append(field)
-                terms.append(term)
-                tfs.append(len(plist))
-                positions.append(plist)
-                lens.append(n)
-            if not agg:  # empty doc still needs a doclen row
-                ids.append(int(doc_id))
-                fields.append(field)
-                terms.append("")
-                tfs.append(0)
-                positions.append([])
-                lens.append(0)
-        yield pd.DataFrame(
-            {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "field": fields,
-                "term": terms,
-                "tf": pd.Series(tfs, dtype="int32"),
-                "positions": positions,
-                "doc_len": pd.Series(lens, dtype="int32"),
-            }
-        )
+        for rb in analyze_arrow_batches(
+            [pa.RecordBatch.from_pandas(pdf)], id_col, text_col, field
+        ):
+            yield rb.to_pandas()
 
 
 ANALYZE_SCHEMA = (

@@ -27,7 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..analyzer import ANALYZE_SCHEMA, analyze_partition
+from ..analyzer import ANALYZE_SCHEMA, analyze_arrow_batches
 
 
 @dataclass
@@ -63,8 +63,12 @@ def analyze_corpus(
     proj = corpus.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
-    return proj.mapInPandas(
-        lambda it: analyze_partition(it, id_col="doc_id", text_col="text", field=field),
+    # mapInArrow: RecordBatches in/out, flat buffers — no per-row
+    # pandas objects on the Python→JVM hop
+    return proj.mapInArrow(
+        lambda it: analyze_arrow_batches(
+            it, id_col="doc_id", text_col="text", field=field
+        ),
         ANALYZE_SCHEMA,
     )
 
@@ -97,7 +101,9 @@ def build_index(
     )
     termstats = postings.groupBy("field", "term").agg(F.count("*").alias("df"))
     fieldstats = doclens.groupBy("field").agg(F.avg("doc_len").alias("avgdl"))
-    n_docs = corpus.select(id_col).distinct().count()
+    # count docs off the (persisted) analyzed table — the analyzer emits
+    # a row even for empty docs, so this avoids re-scanning the corpus
+    n_docs = analyzed.select("doc_id").distinct().count()
     return IndexTables(
         postings=postings,
         doclens=doclens,

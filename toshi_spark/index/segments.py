@@ -132,7 +132,9 @@ def write_segment(
     ).sortWithinPartitions("field", "term", "salt", "doc_id")
     arranged.write.mode("overwrite").parquet(f"{staging}/postings")
 
-    blocks = encode_blocks_df(arranged)
+    # seg id is a literal column (NOT derived from input_file_name at
+    # read time — that projection would block parquet filter pushdown)
+    blocks = encode_blocks_df(arranged).withColumn("seg", F.lit(segment_id))
     blocks.write.mode("overwrite").parquet(f"{staging}/blocks")
 
     tables.doclens.write.mode("overwrite").parquet(f"{staging}/doclens")
@@ -276,9 +278,7 @@ def open_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
         os.path.join(index_dir, "segments", e.segment_id)
         for e in manifest.entries()
     ]
-    return spark.read.parquet(*[f"{d}/blocks" for d in seg_dirs]).withColumn(
-        # segment id disambiguates block keys across segments (the
-        # block-max path dedupes on the block key)
-        "seg",
-        F.regexp_extract(F.input_file_name(), r"segments/([^/]+)/blocks", 1),
-    )
+    # 'seg' disambiguates block keys across segments (the block-max
+    # path dedupes on the block key); it is a stored column so term
+    # filters still push down to the parquet scan
+    return spark.read.parquet(*[f"{d}/blocks" for d in seg_dirs])
