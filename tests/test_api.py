@@ -1,0 +1,156 @@
+"""Toshi-compatible API route surface (router.rs:52-73 parity)."""
+
+import json
+
+import pytest
+
+from toshi_spark.api import ToshiApi
+from toshi_spark.index.catalog import IndexCatalog
+from toshi_spark.schema import TOSHI_FIXTURE_SCHEMA_SPECS
+
+SCHEMA_BODY = [vars(s) for s in TOSHI_FIXTURE_SCHEMA_SPECS.fields]
+
+FIXTURE_NDJSON = "\n".join(
+    json.dumps(d)
+    for d in [
+        {"test_text": "Test Document 1", "test_i64": 2014, "test_u64": 10,
+         "test_unindex": "no", "test_facet": "/cat/cat2"},
+        {"test_text": "Test Dockument 2", "test_i64": -2015, "test_u64": 11,
+         "test_unindex": "yes", "test_facet": "/cat/cat2"},
+        {"test_text": "Test Duckiment 3", "test_i64": 2016, "test_u64": 12,
+         "test_unindex": "noo", "test_facet": "/cat/cat3"},
+        {"test_text": "Test Document 4", "test_i64": -2017, "test_u64": 13,
+         "test_unindex": "yess", "test_facet": "/cat/cat4"},
+        {"test_text": "Test Document 5", "test_i64": 2018, "test_u64": 14,
+         "test_unindex": "nooo", "test_facet": "/dog/cat2"},
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    cat = IndexCatalog(spark, str(tmp_path_factory.mktemp("api_cat")))
+    a = ToshiApi(cat)
+    code, _ = a.handle("PUT", "/test_index/_create", SCHEMA_BODY)
+    assert code == 201
+    code, resp = a.handle("POST", "/test_index/_bulk", FIXTURE_NDJSON)
+    assert code == 201 and resp["docs"] == 5
+    code, resp = a.handle("GET", "/test_index/_flush")
+    assert code == 200 and resp["opstamp"] == 5
+    return a
+
+
+def test_root(api):
+    code, resp = api.handle("GET", "/")
+    assert code == 200 and resp["name"] == "Toshi Search"
+
+
+def test_list(api):
+    assert api.handle("GET", "/_list") == (200, ["test_index"])
+
+
+def test_search_route(api):
+    code, resp = api.handle(
+        "POST", "/test_index", {"query": {"term": {"test_text": "document"}}}
+    )
+    assert code == 200 and resp["hits"] == 3
+
+
+def test_all_docs_get(api):  # router: GET /{index} → all_docs
+    code, resp = api.handle("GET", "/test_index")
+    assert code == 200 and resp["hits"] == 5
+
+
+def test_summary_route(api):
+    code, resp = api.handle("GET", "/test_index/_summary",
+                            query_options={"include_sizes": True})
+    assert code == 200
+    assert resp["summaries"]["num_docs"] == 5
+    assert resp["summaries"]["segment_sizes"]
+
+
+def test_query_error_shape(api):
+    code, resp = api.handle(
+        "POST", "/test_index", {"query": {"term": {"asdf": "x"}}}
+    )
+    assert code == 400
+    assert resp["message"] == "Error in query execution: 'Unknown field: asdf'"
+
+
+def test_unknown_index(api):
+    code, resp = api.handle("POST", "/nope", {"query": None})
+    assert code == 400 and "does not exist" in resp["message"]
+
+
+def test_create_duplicate(api):
+    code, resp = api.handle("PUT", "/test_index/_create", SCHEMA_BODY)
+    assert code == 400 and "already exists" in resp["message"]
+
+
+def test_bulk_rollback_on_bad_doc(api):
+    # reference: bulk with invalid u64 → 400 + rollback (index.rs:82-169)
+    bad = FIXTURE_NDJSON + "\n" + json.dumps(
+        {"test_text": "x", "test_i64": 1, "test_u64": -5,
+         "test_unindex": "x", "test_facet": "/a/b"}
+    )
+    code, resp = api.handle("POST", "/test_index/_bulk", bad)
+    assert code == 400 and "expected u64" in resp["message"]
+    # rollback: flush commits nothing new
+    api.handle("GET", "/test_index/_flush")
+    code, resp = api.handle("GET", "/test_index")
+    assert resp["hits"] == 5
+
+
+def test_add_document_and_delete_roundtrip(api):
+    code, _ = api.handle("PUT", "/test_index", {
+        "options": {"commit": True},
+        "document": {"test_text": "Test Zebra 6", "test_i64": 2020,
+                     "test_u64": 20, "test_unindex": "x",
+                     "test_facet": "/cat/cat9"},
+    })
+    assert code == 201
+    code, resp = api.handle(
+        "POST", "/test_index", {"query": {"term": {"test_text": "zebra"}}}
+    )
+    assert resp["hits"] == 1
+    code, resp = api.handle("DELETE", "/test_index",
+                            {"terms": {"test_text": "zebra"}})
+    assert code == 200 and resp["docs_affected"] == 1
+    code, resp = api.handle(
+        "POST", "/test_index", {"query": {"term": {"test_text": "zebra"}}}
+    )
+    assert resp["hits"] == 0
+
+
+def test_bulk_then_all_docs_is_8(api):
+    """Reference: bulk 3 more docs + flush → all_docs hits 8
+    (handlers/bulk.rs:149-189; adjusted for the add/delete test doc)."""
+    extra = "\n".join(
+        json.dumps({"test_text": f"Extra Doc {i}", "test_i64": 3000 + i,
+                    "test_u64": 30 + i, "test_unindex": "x",
+                    "test_facet": "/new/new1"})
+        for i in range(3)
+    )
+    code, _ = api.handle("POST", "/test_index/_bulk", extra)
+    assert code == 201
+    api.handle("GET", "/test_index/_flush")
+    code, resp = api.handle("POST", "/test_index",
+                            {"query": None, "limit": 100})
+    assert resp["hits"] == 8  # 5 fixture + 3 bulk (zebra deleted)
+
+
+def test_raw_range_syntax(api):
+    code, resp = api.handle(
+        "POST", "/test_index", {"query": {"raw": "test_i64:[2014 TO 2016]"}}
+    )
+    assert code == 200
+    vals = sorted(d["doc"]["test_i64"] for d in resp["docs"])
+    assert vals == [2014, 2016]
+    code, resp = api.handle(
+        "POST", "/test_index", {"query": {"raw": "test_i64:{2014 TO 2018}"}}
+    )
+    assert sorted(d["doc"]["test_i64"] for d in resp["docs"]) == [2016]
+    code, resp = api.handle(
+        "POST", "/test_index", {"query": {"raw": "test_u64:[13 TO *]"}}
+    )
+    assert resp["hits"] >= 2

@@ -1,0 +1,157 @@
+"""Toshi-compatible API surface: (method, path, body) → (status, json).
+
+Route table mirrors ``toshi-server/src/router.rs:52-73`` exactly; this
+layer is transport-agnostic (plug it behind any HTTP server — the
+engine core stays a library).  Response/error shapes follow the
+handlers in ``toshi-server/src/handlers/``:
+
+    GET    /                    → {"name": "Toshi Search", "version"}
+    GET    /_list               → ["idx", ...]
+    PUT    /{idx}/_create       → 201 {} | 400 {"message"}
+    GET    /{idx}/_summary      → {"summaries": {...}}  (?include_sizes)
+    GET    /{idx}/_flush        → {"opstamp": n}
+    POST   /{idx}/_bulk         → NDJSON ingest; ANY parse error rolls
+                                  back the whole batch (bulk.rs:121-129)
+    POST   /{idx}               → search (SearchResults JSON)
+    PUT    /{idx}               → add_document {options:{commit}, document}
+    DELETE /{idx}               → delete_term {options, terms}
+    GET    /{idx}               → all_docs
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from . import __version__
+from .index.catalog import IndexCatalog
+from .schema import IndexSchema, QueryError
+
+DEFAULT_MAX_LINE_LENGTH = 10_000  # LinesCodec default, bulk.rs framing
+
+
+def validate_document(schema: IndexSchema, doc: dict[str, Any]) -> None:
+    """Schema validation mirroring ``schema.parse_document`` failures
+    (unknown fields / wrong types / negative u64 ⇒ the whole bulk
+    rolls back)."""
+    for name, value in doc.items():
+        spec = schema.get(name)
+        if spec is None:
+            raise QueryError(f"Unknown field: {name}")
+        if spec.ftype in ("i64", "u64"):
+            if isinstance(value, bool) or not isinstance(value, int):
+                raise QueryError(
+                    f"invalid type: `{value!r}`, expected {spec.ftype}"
+                )
+            if spec.ftype == "u64" and value < 0:
+                raise QueryError(
+                    f"invalid value: integer `{value}`, expected u64"
+                )
+        elif spec.ftype in ("text", "facet") and not isinstance(value, str):
+            raise QueryError(f"invalid type: `{value!r}`, expected string")
+
+
+class ToshiApi:
+    def __init__(self, catalog: IndexCatalog,
+                 max_line_length: int = DEFAULT_MAX_LINE_LENGTH):
+        self.catalog = catalog
+        self.max_line_length = max_line_length
+
+    # -------------------------------------------------------- dispatch
+
+    def handle(self, method: str, path: str, body: Any = None,
+               query_options: dict | None = None) -> tuple[int, Any]:
+        method = method.upper()
+        parts = [p for p in path.strip("/").split("/") if p]
+        qo = query_options or {}
+        try:
+            if method == "GET" and parts == []:
+                return 200, {"name": "Toshi Search", "version": __version__}
+            if method == "GET" and parts == ["_list"]:
+                return 200, self.catalog.list_indexes()
+            if method == "PUT" and len(parts) == 2 and parts[1] == "_create":
+                return self._create(parts[0], body)
+            if method == "GET" and len(parts) == 2 and parts[1] == "_summary":
+                return 200, self.catalog.index_summary(
+                    parts[0], include_sizes=bool(qo.get("include_sizes"))
+                )
+            if method == "GET" and len(parts) == 2 and parts[1] == "_flush":
+                return 200, {"opstamp": self.catalog.flush(parts[0])}
+            if method == "POST" and len(parts) == 2 and parts[1] == "_bulk":
+                return self._bulk(parts[0], body)
+            if method == "POST" and len(parts) == 1:
+                return self._search(parts[0], body)
+            if method == "PUT" and len(parts) == 1:
+                return self._add_document(parts[0], body)
+            if method == "DELETE" and len(parts) == 1:
+                return self._delete(parts[0], body)
+            if method == "GET" and len(parts) == 1:
+                return self._search(parts[0], {"query": None})
+            return 404, {"message": "Not found"}
+        except QueryError as e:
+            # error_response shape: handlers/search.rs error tests
+            return 400, {"message": f"Error in query execution: '{e}'"}
+
+    # --------------------------------------------------------- handlers
+
+    def _create(self, index: str, body: Any) -> tuple[int, Any]:
+        if self.catalog.exists(index):
+            return 400, {"message": f"Index: {index} already exists"}
+        self.catalog.create_index(index, body)
+        return 201, {}
+
+    def _require(self, index: str) -> None:
+        if not self.catalog.exists(index):
+            raise QueryError(f"Unknown Index: '{index}' does not exist")
+
+    def _search(self, index: str, body: Any) -> tuple[int, Any]:
+        self._require(index)
+        ix = self.catalog.open(index)
+        results = ix.search_json(body if body is not None else {"query": None})
+        return 200, results.to_json()
+
+    def _add_document(self, index: str, body: Any) -> tuple[int, Any]:
+        self._require(index)
+        opts = (body or {}).get("options") or {}
+        doc = (body or {}).get("document")
+        if doc is None:
+            return 400, {"message": "Error Parsing Json: missing 'document'"}
+        validate_document(self.catalog.schema(index), doc)
+        self.catalog.add_document(index, doc,
+                                  commit=bool(opts.get("commit")))
+        return 201, {}
+
+    def _delete(self, index: str, body: Any) -> tuple[int, Any]:
+        self._require(index)
+        terms = (body or {}).get("terms") or {}
+        n = self.catalog.delete_term(index, terms,
+                                     commit=bool(((body or {}).get("options")
+                                                  or {}).get("commit")))
+        return 200, {"docs_affected": n}
+
+    def _bulk(self, index: str, body: Any) -> tuple[int, Any]:
+        """NDJSON bulk: frame lines, parse+validate ALL before any add —
+        a single bad line rolls back the entire batch (bulk.rs:121-129).
+        """
+        self._require(index)
+        schema = self.catalog.schema(index)
+        text = body if isinstance(body, str) else (body or b"").decode("utf-8")
+        docs: list[dict] = []
+        for ln, line in enumerate(text.splitlines(), 1):
+            if not line.strip():
+                continue
+            if len(line) > self.max_line_length:
+                return 400, {"message": f"line {ln} exceeds max line length"}
+            try:
+                doc = json.loads(line)
+            except json.JSONDecodeError as e:
+                return 400, {"message": f"Error Parsing Json: '{e}'"}
+            try:
+                validate_document(schema, doc)
+            except QueryError as e:
+                # rollback: nothing buffered, manifest untouched
+                return 400, {"message": f"Error Parsing Json: '{e}'"}
+            docs.append(doc)
+        for doc in docs:
+            self.catalog.add_document(index, doc, commit=False)
+        return 201, {"docs": len(docs)}

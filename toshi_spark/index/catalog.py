@@ -130,6 +130,13 @@ class IndexCatalog:
         )
         meta = self._meta(name)
         meta["opstamp"] = 0  # commit resets the opstamp (handle.rs:62-70)
+        # track the id ceiling so API-added docs (no explicit id — the
+        # reference's writer assigns ids) never collide with ingested ids
+        max_id = corpus.agg(F.max(F.col(id_col))).collect()[0][0]
+        if max_id is not None:
+            meta["next_doc_id"] = max(
+                int(meta.get("next_doc_id", 0)), int(max_id) + 1
+            )
         self._save_meta(name, meta)
         return sum(e.docs for e in entries)
 
@@ -163,6 +170,14 @@ class IndexCatalog:
             schema = self.schema(name)
             with open(pending) as f:
                 docs = [json.loads(line) for line in f if line.strip()]
+            # writer-assigned doc ids (reference: Tantivy assigns ids on
+            # add; our deterministic equivalent is a persisted counter)
+            next_id = int(meta.get("next_doc_id", 0))
+            for doc in docs:
+                if "doc_id" not in doc:
+                    doc["doc_id"] = next_id
+                    next_id += 1
+            meta["next_doc_id"] = next_id
             sdf = self.spark.createDataFrame(docs)
             text_fields = [f.name for f in schema.text_fields()]
             tables = build_index(sdf, id_col="doc_id",

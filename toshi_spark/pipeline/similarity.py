@@ -109,6 +109,42 @@ def rh_signatures(
     return bucket
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking.
+
+    All-pairs cosine is O(n²) scans at 100 TB; random-hyperplane
+    buckets make it an equi-join (same shape as MinHash-LSH for text):
+    only same-bucket pairs get an exact cosine, then filter ≥ threshold.
+    Returns (a, b, cos_sim).
+    """
+    sigs = rh_signatures(emb, n_planes, id_col, vec_col)
+    a = sigs.select(F.col("vec_id").alias("a"), "bucket")
+    b = sigs.select(F.col("vec_id").alias("b"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b")
+    ea = emb.select(F.col(id_col).alias("a"),
+                    _as_double(F.col(vec_col)).alias("va"))
+    eb = emb.select(F.col(id_col).alias("b"),
+                    _as_double(F.col(vec_col)).alias("vb"))
+    joined = pairs.join(ea, "a").join(eb, "b")
+    cos = joined.select(
+        "a", "b",
+        (
+            _dot(F.col("va"), F.col("vb"))
+            / (F.sqrt(_dot(F.col("va"), F.col("va")))
+               * F.sqrt(_dot(F.col("vb"), F.col("vb"))))
+        ).alias("cos_sim"),
+    )
+    return cos.filter(F.col("cos_sim") >= threshold).select(
+        "a", "b", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_vec_id: int,

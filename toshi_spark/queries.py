@@ -774,3 +774,60 @@ QUERIES.update(
         "ft_blockmax_topk": q_blockmax_topk,
     }
 )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-blocked), threshold 0.8."""
+    from .pipeline.similarity import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.8, n_planes=8)
+
+
+ORACLES["embedding_neardup"] = """
+WITH planes AS (
+  SELECT p.range AS plane, d.range AS dim_idx,
+         CASE WHEN CAST(('0x' || substr(
+                md5(p.range::VARCHAR || ':' || d.range::VARCHAR), 1, 2))
+              AS INTEGER) % 2 = 0
+         THEN 1.0 ELSE -1.0 END AS coef
+  FROM range(8) p, range(64) d
+),
+exploded AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         unnest(range(0, len(embedding))) AS dim_idx
+  FROM embeddings
+),
+proj AS (
+  SELECT e.vec_id, p.plane, sum(e.x * p.coef) AS proj
+  FROM exploded e JOIN planes p USING (dim_idx)
+  GROUP BY e.vec_id, p.plane
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << plane
+                  ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM buckets x JOIN buckets y ON x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id
+),
+elems AS (
+  SELECT p.a, p.b,
+         unnest(ea.embedding)::DOUBLE AS xa,
+         unnest(eb.embedding)::DOUBLE AS xb
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.a
+  JOIN embeddings eb ON eb.vec_id = p.b
+),
+s AS (
+  SELECT a, b, sum(xa * xb) AS dot, sum(xa * xa) AS na, sum(xb * xb) AS nb
+  FROM elems GROUP BY a, b
+)
+SELECT a, b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+FROM s WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.8
+"""
+
+QUERIES["embedding_neardup"] = q_embedding_neardup

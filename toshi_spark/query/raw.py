@@ -33,7 +33,11 @@ import re
 
 from ..analyzer import terms_only
 from ..schema import IndexSchema, QueryError
-from .dsl import BoolQuery, ExactTerm, PhraseQuery, Query
+from .dsl import BoolQuery, ExactTerm, PhraseQuery, Query, RangeQuery
+
+_RANGE_RE = re.compile(
+    r"""(?P<lb>[\[{])\s*(?P<lo>\*|-?\d+)\s+TO\s+(?P<hi>\*|-?\d+)\s*(?P<rb>[\]}])"""
+)
 
 _TOKEN_RE = re.compile(
     r"""\s*(?:
@@ -83,6 +87,30 @@ def parse_raw(raw: str, schema: IndexSchema) -> Query:
         field_name: str | None = None
         if m.group("field"):
             field_name = m.group("field")
+            # Lucene range syntax: field:[lo TO hi] / field:{lo TO hi}
+            mr = _RANGE_RE.match(raw, pos)
+            if mr:
+                pos = mr.end()
+                spec = schema.get(field_name)
+                if spec is None:
+                    raise QueryError(f"Unknown field: {field_name}")
+                if not spec.indexed:
+                    raise QueryError(
+                        f"The field '{field_name}' is not declared as indexed"
+                    )
+                lo, hi = mr.group("lo"), mr.group("hi")
+                kw: dict = {}
+                if lo != "*":
+                    kw["gte" if mr.group("lb") == "[" else "gt"] = int(lo)
+                if hi != "*":
+                    kw["lte" if mr.group("rb") == "]" else "lt"] = int(hi)
+                occur = pending_occur
+                if promote_next_and:
+                    occur = "must"
+                    promote_next_and = False
+                pending_occur = "should"
+                clauses.append((occur, RangeQuery(field_name, **kw)))
+                continue
             m2 = _TOKEN_RE.match(raw, pos)
             if not m2 or not (m2.group("quoted") or m2.group("term")):
                 raise QueryError(f"Syntax Error: {raw}")
