@@ -831,3 +831,37 @@ FROM s WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.8
 """
 
 QUERIES["embedding_neardup"] = q_embedding_neardup
+
+
+def q_segmented_term_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable-path gate: build on-disk segments (chunked, salted,
+    block-encoded, manifest-committed), reopen from the manifest, and
+    run the BM25 term query over the stitched segments.  Oracle is the
+    same BM25 SQL — proving write→commit→open→query is lossless."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .index.segments import build_segments, open_segmented_tables
+
+    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"toshi_spark_seg_{tag}")
+    build_segments(
+        spark, docs, idx_dir, id_col="doc_id", text_fields="text",
+        n_chunks=2, index_name="documents", fingerprint=sf_dir,
+        salt_df_threshold=10_000,
+    )  # resumable: committed chunks are skipped on re-entry
+    t = open_segmented_tables(spark, idx_dir)
+    matched = t.postings.filter(
+        (F.col("field") == "text") & (F.col("term") == "spark")
+    ).select("field", "term", "doc_id", "tf")
+    scored = bm25_score(
+        matched, t.doclens, t.termstats, t.n_docs, t.fieldstats,
+        tf_mode="full",
+    )
+    return topk(scored, 20).select("doc_id", _r4())
+
+
+ORACLES["ft_segmented_term_bm25"] = ORACLES["ft_term_bm25"]
+QUERIES["ft_segmented_term_bm25"] = q_segmented_term_bm25
