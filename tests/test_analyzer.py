@@ -53,3 +53,21 @@ def test_webtext_deterministic_across_parallelism(spark):
     assert ha == hb
     # html wraps text exactly
     assert bytes(a[0].html) == f"<html><body>{a[0].text}</body></html>".encode()
+
+
+def test_analyze_doc_consistent_with_tokenize():
+    from hypothesis import given, settings, strategies as st
+    from toshi_spark.analyzer import analyze_doc
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=200))
+    def check(text):
+        agg, n = analyze_doc(text)
+        toks = tokenize(text)
+        assert n == len(toks)
+        rebuilt = {}
+        for term, pos in toks:
+            rebuilt.setdefault(term, []).append(pos)
+        assert agg == rebuilt
+
+    check()

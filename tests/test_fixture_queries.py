@@ -211,3 +211,45 @@ def test_sort_by_non_fast_field_falls_back(index):
 def test_limit_applied(index):
     r = run(index, {"query": {"term": {"test_text": "test"}}, "limit": 2})
     assert r.hits == 2
+
+
+def test_bool_fast_path_equals_general(index, monkeypatch):
+    """The single-scan all-terms boolean plan must match the
+    clause-by-clause general plan exactly."""
+    from toshi_spark.query.compiler import Compiler
+    from toshi_spark.query.dsl import parse_query
+
+    q = parse_query({"bool": {
+        "must": [{"term": {"test_text": "test"}},
+                 {"term": {"test_text": "document"}}],
+        "must_not": [{"term": {"test_text": "duckiment"}}],
+        "should": [{"term": {"test_text": "1"}},
+                   {"term": {"test_text": "document"}}],
+    }})
+    comp = Compiler(index)
+    fast = comp.compile(q)
+    assert fast is not None
+    monkeypatch.setattr(Compiler, "_compile_bool_terms_fast",
+                        lambda self, q: None)
+    general = Compiler(index).compile(q)
+    a = sorted((r.doc_id, round(r.score, 10)) for r in fast.collect())
+    b = sorted((r.doc_id, round(r.score, 10)) for r in general.collect())
+    assert a == b and len(a) > 0
+
+
+def test_bool_fast_path_should_only(index, monkeypatch):
+    from toshi_spark.query.compiler import Compiler
+    from toshi_spark.query.dsl import parse_query
+
+    q = parse_query({"bool": {
+        "should": [{"term": {"test_text": "document"}},
+                   {"term": {"test_text": "dockument"}}],
+        "must_not": [{"term": {"test_text": "4"}}],
+    }})
+    fast = Compiler(index).compile(q)
+    monkeypatch.setattr(Compiler, "_compile_bool_terms_fast",
+                        lambda self, q: None)
+    general = Compiler(index).compile(q)
+    a = sorted((r.doc_id, round(r.score, 10)) for r in fast.collect())
+    b = sorted((r.doc_id, round(r.score, 10)) for r in general.collect())
+    assert a == b and len(a) == 3  # docs 0,1,4 minus doc 3 ('4' term)

@@ -215,8 +215,88 @@ class Compiler:
 
     # ------------------------------------------------------------ boolean
 
+    def _compile_bool_terms_fast(self, q: BoolQuery) -> DataFrame | None:
+        """Single-scan plan for the all-term-clauses boolean (the common
+        shape).  The general path scans postings once per clause and
+        joins; when every clause is an ExactTerm on one field, the whole
+        query is ONE postings scan + ONE aggregation:
+
+            filter term ∈ all-clause-terms
+            → per-(doc,term) basic BM25 part
+            → broadcast-join a tiny (term, weight, is_must, is_not) map
+            → groupBy(doc): score = Σ weight·part,
+              matched-must distinct count, must_not flag
+            → filter must-complete ∧ ¬must_not
+
+        Semantics identical to the clause-by-clause plan (weights carry
+        clause multiplicity).  Returns None when the shape doesn't
+        apply (mixed clause types / multiple fields).
+        """
+        clauses = [*q.must, *q.must_not, *q.should]
+        if not clauses or not all(isinstance(c, ExactTerm) for c in clauses):
+            return None
+        fields = {c.field for c in clauses}
+        if len(fields) != 1:
+            return None
+        field = next(iter(fields))
+        self.ctx.schema.require_indexed(field)
+
+        from collections import Counter
+
+        must_c = Counter(c.value for c in q.must)
+        should_c = Counter(c.value for c in q.should)
+        not_set = {c.value for c in q.must_not}
+        all_terms = sorted(set(must_c) | set(should_c) | not_set)
+        term_meta = self.ctx.spark.createDataFrame(
+            [
+                (
+                    t,
+                    float(must_c.get(t, 0) + should_c.get(t, 0)),
+                    t in must_c,
+                    t in not_set,
+                    t in should_c,
+                )
+                for t in all_terms
+            ],
+            "term string, w double, is_must boolean, is_not boolean, "
+            "is_should boolean",
+        )
+        matched = self._postings_for_terms(field, all_terms).select(
+            "field", "term", "doc_id", "tf"
+        )
+        joined = (
+            matched.join(self.ctx.termstats.select("field", "term", "df"),
+                         ["field", "term"])
+            .join(self.ctx.doclens, ["field", "doc_id"])
+            .join(F.broadcast(self.ctx.fieldstats), "field")
+            .join(F.broadcast(term_meta), "term")
+            .withColumn(
+                "part",
+                idf_col(self.ctx.n_docs, F.col("df").cast("double"))
+                * tf_norm_dyn(F.lit(1.0), F.col("doc_len").cast("double"),
+                              F.col("avgdl")),
+            )
+        )
+        agg = joined.groupBy("doc_id").agg(
+            F.sum(F.col("part") * F.col("w")).alias("score"),
+            F.count_distinct(
+                F.when(F.col("is_must"), F.col("term"))
+            ).alias("n_must"),
+            F.max(F.when(F.col("is_not"), 1).otherwise(0)).alias("excluded"),
+            F.max(F.when(F.col("is_should"), 1).otherwise(0)).alias("has_should"),
+        )
+        cond = F.col("excluded") == 0
+        if must_c:
+            cond = cond & (F.col("n_must") == len(must_c))
+        else:
+            cond = cond & (F.col("has_should") == 1)
+        return agg.filter(cond).select("doc_id", "score")
+
     def compile_bool(self, q: BoolQuery) -> DataFrame:
         q.validate()
+        fast = self._compile_bool_terms_fast(q)
+        if fast is not None:
+            return fast
         musts = [self.compile(c) for c in q.must]
         shoulds = [self.compile(c) for c in q.should]
         must_nots = [self.compile(c) for c in q.must_not]
