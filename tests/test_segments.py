@@ -194,3 +194,38 @@ def test_catalog_lifecycle(spark, tmp_path_factory):
     ix3 = cat.open("test_index")
     r4 = ix3.search_json({"query": {"term": {"test_text": "fresh"}}})
     assert r4.hits == 1
+
+
+def test_merge_folds_in_tombstones(spark, corpus, tmp_path_factory):
+    """Deletes physically reclaim on compaction (Tantivy semantics)."""
+    import os
+
+    idx_dir = str(tmp_path_factory.mktemp("ix_tomb"))
+    build_segments(spark, corpus, idx_dir, n_chunks=8, index_name="web",
+                   salt_df_threshold=100)
+    # tombstone every doc containing the unique marker of doc 7
+    before = open_segmented_tables(spark, idx_dir)
+    victims = before.postings.filter(
+        F.col("term") == "marker00000007").select("doc_id").distinct()
+    victims.write.mode("overwrite").parquet(os.path.join(idx_dir, "tombstones"))
+    run_merge(spark, idx_dir, min_merge_size=8, index_name="web")
+    after = open_segmented_tables(spark, idx_dir)
+    assert after.n_docs == 239
+    assert after.postings.filter(
+        F.col("term") == "marker00000007").count() == 0
+    # df recomputed: marker term gone from the dictionary
+    assert after.termstats.filter(
+        F.col("term") == "marker00000007").count() == 0
+
+
+def test_regex_prefix_extraction():
+    from toshi_spark.query.compiler import _regex_literal_prefix as p
+
+    assert p("qu.*") == "qu"
+    assert p("document") == "document"
+    assert p("d[ou]{1}c") == "d"
+    assert p("ab?c") == "a"
+    assert p("ab*") == "a"
+    assert p(".*x") == ""
+    assert p("foo{2}") == "fo"
+    assert p("\\d+") == ""

@@ -58,8 +58,16 @@ def run_merge(
     min_layer_size: int = 10_000,
     level_log_size: float = 0.75,
     index_name: str = "index",
+    apply_tombstones: bool = True,
 ) -> list[str]:
-    """Execute all due merges; returns the new segment ids."""
+    """Execute all due merges; returns the new segment ids.
+
+    Deletes fold in on merge (Tantivy semantics): tombstoned doc ids
+    are anti-joined out of the merged postings/doclens, and df/avgdl
+    are recomputed from the surviving postings — so compaction
+    physically reclaims deleted docs while read-time tombstone
+    anti-joins keep covering unmerged segments.
+    """
     manifest = Manifest(index_dir)
     entries = manifest.entries()
     merged_ids: list[str] = []
@@ -67,6 +75,12 @@ def run_merge(
                            level_log_size)
     if not to_merge:
         return merged_ids
+    tomb = None
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if apply_tombstones and os.path.exists(tomb_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(tomb_dir)
+    ):
+        tomb = spark.read.parquet(tomb_dir).select("doc_id").distinct()
     remaining = {e.segment_id: e for e in entries}
     for bucket in to_merge:
         seg_dirs = [
@@ -76,13 +90,20 @@ def run_merge(
             *[f"{d}/postings" for d in seg_dirs]
         ).drop("salt")
         doclens = spark.read.parquet(*[f"{d}/doclens" for d in seg_dirs])
+        if tomb is not None:
+            postings = postings.join(tomb, "doc_id", "left_anti")
+            doclens = doclens.join(tomb, "doc_id", "left_anti")
         termstats = (
             postings.groupBy("field", "term").agg(F.count("*").alias("df"))
         )
         fieldstats = doclens.groupBy("field").agg(
             F.avg("doc_len").alias("avgdl")
         )
-        n_docs = sum(e.docs for e in bucket)
+        n_docs = (
+            doclens.select("doc_id").distinct().count()
+            if tomb is not None
+            else sum(e.docs for e in bucket)
+        )
         tables = IndexTables(
             postings=postings, doclens=doclens, termstats=termstats,
             fieldstats=fieldstats, n_docs=n_docs,

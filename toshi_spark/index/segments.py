@@ -138,7 +138,16 @@ def write_segment(
     blocks.write.mode("overwrite").parquet(f"{staging}/blocks")
 
     tables.doclens.write.mode("overwrite").parquet(f"{staging}/doclens")
-    tables.termstats.write.mode("overwrite").parquet(f"{staging}/termstats")
+    # dictionary sorted by (field, term): parquet min/max stats give
+    # prefix-range pruning for regex/fuzzy dictionary scans
+    (
+        tables.termstats.repartitionByRange(
+            max(1, term_partitions // 4), F.col("field"), F.col("term")
+        )
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .parquet(f"{staging}/termstats")
+    )
 
     fieldstats = {
         r["field"]: float(r["avgdl"]) for r in tables.fieldstats.collect()

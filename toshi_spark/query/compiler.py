@@ -169,8 +169,22 @@ class Compiler:
 
     def compile_fuzzy(self, q: FuzzyQuery) -> DataFrame:
         self.ctx.schema.require_indexed(q.field)
+        if q.distance == 0:
+            # Levenshtein distance 0 ≡ exact term: the equality pushes
+            # all the way to the parquet scan (no dictionary sweep)
+            return self._const_score_for_terms(
+                self._expand_dict(q.field, F.col("term") == q.value)
+            )
+        # cheap columnar prefilter: |len(term) − len(value)| ≤ d holds
+        # for every term within edit distance d — prunes the dictionary
+        # before the (expensive) edit-distance evaluation
+        len_pred = F.length(F.col("term")).between(
+            len(q.value) - q.distance, len(q.value) + q.distance
+        )
         if not q.transposition:
-            pred = F.levenshtein(F.col("term"), F.lit(q.value)) <= q.distance
+            pred = len_pred & (
+                F.levenshtein(F.col("term"), F.lit(q.value)) <= q.distance
+            )
             expanded = self._expand_dict(q.field, pred)
         else:
             # Damerau-Levenshtein (adjacent transposition counts as 1):
@@ -182,7 +196,9 @@ class Compiler:
             def within(terms: pd.Series) -> pd.Series:
                 return terms.map(lambda t: _damerau(t, value, dist) <= dist)
 
-            expanded = self._expand_dict(q.field, within(F.col("term")))
+            expanded = self._expand_dict(
+                q.field, len_pred & within(F.col("term"))
+            )
         return self._const_score_for_terms(expanded)
 
     def compile_regex(self, q: RegexQuery) -> DataFrame:
@@ -190,6 +206,16 @@ class Compiler:
         self.ctx.schema.require_indexed(q.field)
         # Tantivy regex-automaton matches the ENTIRE term (regex.rs:28-36)
         pred = F.col("term").rlike(f"^(?:{q.pattern})$")
+        # the automaton's cheap cousin: a literal regex prefix becomes a
+        # term RANGE predicate that parquet min/max stats can prune on
+        # the (sorted) dictionary — e.g. "qu.*" → 'qu' ≤ term < 'qv'
+        prefix = _regex_literal_prefix(q.pattern)
+        if prefix:
+            pred = (F.col("term") >= prefix) & pred
+            last = prefix[-1]
+            if ord(last) < 0x10FFFF:
+                upper = prefix[:-1] + chr(ord(last) + 1)
+                pred = (F.col("term") < upper) & pred
         return self._const_score_for_terms(self._expand_dict(q.field, pred))
 
     def compile_range(self, q: RangeQuery) -> DataFrame:
@@ -356,6 +382,27 @@ class Compiler:
 
             return self.compile(parse_raw(q.raw, self.ctx.schema))
         raise QueryError(f"Unsupported query type: {type(q).__name__}")
+
+
+_REGEX_META = set(".^$*+?{}[]|()\\")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a regex (chars before any metachar).
+
+    Conservative: stops at the first metacharacter and drops the last
+    literal char if the NEXT token could make it optional/repeated
+    (e.g. "ab?" must not assume 'b').
+    """
+    out: list[str] = []
+    i = 0
+    n = len(pattern)
+    while i < n and pattern[i] not in _REGEX_META:
+        out.append(pattern[i])
+        i += 1
+    if i < n and pattern[i] in "?*{" and out:
+        out.pop()  # the preceding literal may repeat zero times
+    return "".join(out)
 
 
 def _damerau(a: str, b: str, cap: int) -> int:
