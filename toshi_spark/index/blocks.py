@@ -87,16 +87,20 @@ def varint_decode(buf: bytes) -> np.ndarray:
 
 
 def encode_run(
-    doc_ids: np.ndarray, tfs: np.ndarray
+    doc_ids: np.ndarray, tfs: np.ndarray, assume_sorted: bool = False
 ) -> list[tuple[int, int, int, int, int, bytes, bytes]]:
-    """One sorted (field, term, salt) posting run → block rows.
+    """One (field, term, salt) posting run → block rows.
 
     Returns [(block_id, first_doc, last_doc, count, max_tf,
               doc_deltas, tfs_bytes)].
     """
-    order = np.argsort(doc_ids, kind="mergesort")
-    d = doc_ids[order].astype(np.int64)
-    t = tfs[order].astype(np.int64)
+    if assume_sorted:
+        d = np.asarray(doc_ids, dtype=np.int64)
+        t = np.asarray(tfs, dtype=np.int64)
+    else:
+        order = np.argsort(doc_ids, kind="mergesort")
+        d = doc_ids[order].astype(np.int64)
+        t = tfs[order].astype(np.int64)
     blocks = []
     for bi, off in enumerate(range(0, d.size, BLOCK_SIZE)):
         dd = d[off : off + BLOCK_SIZE]
@@ -165,17 +169,109 @@ def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def encode_sorted_partitions(batches):
+    """mapInArrow kernel over partitions pre-sorted by
+    (field, term, salt, doc_id): detect run boundaries vectorized and
+    encode each run with numpy — no per-group pandas overhead.
+
+    This matters because real dictionaries are dominated by singleton
+    terms (unique ids, typos): groupBy().applyInPandas() pays ~ms of
+    pandas machinery per GROUP, which at millions of one-posting runs
+    turns encoding into a straggler stage.  Here a run costs one slice.
+    """
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("field", pa.string()),
+            ("term", pa.string()),
+            ("salt", pa.int32()),
+            ("block_id", pa.int32()),
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("count", pa.int32()),
+            ("max_tf", pa.int32()),
+            ("doc_deltas", pa.binary()),
+            ("tfs", pa.binary()),
+        ]
+    )
+    batch_list = list(batches)
+    if not batch_list:
+        return
+    tbl = pa.Table.from_batches(batch_list).combine_chunks()
+    n = tbl.num_rows
+    if n == 0:
+        return
+    fields = np.asarray(tbl.column("field").to_pylist(), dtype=object)
+    terms = np.asarray(tbl.column("term").to_pylist(), dtype=object)
+    salts = tbl.column("salt").to_numpy()
+    doc_ids = tbl.column("doc_id").to_numpy()
+    tfs = tbl.column("tf").to_numpy()
+    if n == 1:
+        change = np.empty(0, dtype=bool)
+    else:
+        change = (
+            (terms[1:] != terms[:-1])
+            | (salts[1:] != salts[:-1])
+            | (fields[1:] != fields[:-1])
+        )
+    starts = np.concatenate(
+        ([0], np.nonzero(change)[0] + 1, [n])
+    ).astype(np.int64)
+    o_field, o_term, o_salt = [], [], []
+    o_bid, o_first, o_last, o_count, o_maxtf = [], [], [], [], []
+    o_deltas, o_tfs = [], []
+    for i in range(len(starts) - 1):
+        s, e = starts[i], starts[i + 1]
+        run = encode_run(doc_ids[s:e], tfs[s:e], assume_sorted=True)
+        for bid, first, last, cnt, mtf, dd, tt in run:
+            o_field.append(fields[s])
+            o_term.append(terms[s])
+            o_salt.append(int(salts[s]))
+            o_bid.append(bid)
+            o_first.append(first)
+            o_last.append(last)
+            o_count.append(cnt)
+            o_maxtf.append(mtf)
+            o_deltas.append(dd)
+            o_tfs.append(tt)
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(o_field, type=pa.string()),
+            pa.array(o_term, type=pa.string()),
+            pa.array(o_salt, type=pa.int32()),
+            pa.array(o_bid, type=pa.int32()),
+            pa.array(o_first, type=pa.int64()),
+            pa.array(o_last, type=pa.int64()),
+            pa.array(o_count, type=pa.int32()),
+            pa.array(o_maxtf, type=pa.int32()),
+            pa.array(o_deltas, type=pa.binary()),
+            pa.array(o_tfs, type=pa.binary()),
+        ],
+        schema=out_schema,
+    )
+
+
+def encode_sorted_blocks(arranged):
+    """blocks from postings ALREADY partitioned by (field, term, salt)
+    and sorted within partitions by (field, term, salt, doc_id)."""
+    return arranged.select(
+        "field", "term", "salt", "doc_id", "tf"
+    ).mapInArrow(encode_sorted_partitions, BLOCKS_SCHEMA)
+
+
 def encode_blocks_df(postings_salted):
     """postings (field, term, doc_id, tf, salt) → blocks DataFrame.
 
-    groupBy + applyInPandas: each (field, term, salt) run is encoded by
-    one task; salting keeps head-term runs bounded (builder.py).
+    Arranges (hash-partition on the run key + partition-local sort,
+    one shuffle) then encodes with the vectorized partition kernel.
     """
-    return postings_salted.select(
-        "field", "term", "salt", "doc_id", "tf"
-    ).groupBy("field", "term", "salt").applyInPandas(
-        lambda pdf: encode_group(pdf), BLOCKS_SCHEMA
-    )
+    spark = postings_salted.sparkSession
+    n_part = spark.sparkContext.defaultParallelism * 2
+    arranged = postings_salted.repartition(
+        n_part, "field", "term", "salt"
+    ).sortWithinPartitions("field", "term", "salt", "doc_id")
+    return encode_sorted_blocks(arranged)
 
 
 def decode_blocks_df(blocks):

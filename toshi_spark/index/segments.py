@@ -32,7 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .blocks import encode_blocks_df
+from .blocks import encode_sorted_blocks
 from .builder import IndexTables, build_index, salted_postings
 
 
@@ -127,15 +127,28 @@ def write_segment(
     salted = salted_postings(
         tables.postings, tables.termstats, salt_df_threshold, n_salts
     )
-    arranged = salted.repartitionByRange(
-        term_partitions, F.col("field"), F.col("term"), F.col("salt")
-    ).sortWithinPartitions("field", "term", "salt", "doc_id")
+    # persist the arranged layout: it feeds both the postings write and
+    # the block encoder, and the encoder REQUIRES partition-local run
+    # integrity (re-reading the written files could split a run across
+    # scan partitions at file-split boundaries)
+    arranged = (
+        salted.repartitionByRange(
+            term_partitions, F.col("field"), F.col("term"), F.col("salt")
+        )
+        .sortWithinPartitions("field", "term", "salt", "doc_id")
+        .persist()
+    )
     arranged.write.mode("overwrite").parquet(f"{staging}/postings")
 
-    # seg id is a literal column (NOT derived from input_file_name at
-    # read time — that projection would block parquet filter pushdown)
-    blocks = encode_blocks_df(arranged).withColumn("seg", F.lit(segment_id))
+    # encode straight off the arranged partitions (no second shuffle,
+    # no per-group pandas); seg id is a literal column (NOT derived
+    # from input_file_name at read time — that projection would block
+    # parquet filter pushdown)
+    blocks = encode_sorted_blocks(arranged).withColumn(
+        "seg", F.lit(segment_id)
+    )
     blocks.write.mode("overwrite").parquet(f"{staging}/blocks")
+    arranged.unpersist()
 
     tables.doclens.write.mode("overwrite").parquet(f"{staging}/doclens")
     # dictionary sorted by (field, term): parquet min/max stats give
