@@ -36,6 +36,14 @@ BENCH_QUERIES = [
     "token_count",
     "ann_cosine",
     "sessionize",
+    "ft_blockmax_topk",
+    "ft_segmented_term_bm25",
+    "minhash_signatures",
+    "embedding_neardup",
+    "quality",
+    "lang_id",
+    "fingerprint",
+    "simhash",
 ]
 
 

@@ -71,3 +71,29 @@ def test_analyze_doc_consistent_with_tokenize():
         assert agg == rebuilt
 
     check()
+
+
+def test_golden_file_byte_identity():
+    """Committed golden (url, text md5, token stream md5) — regenerate
+    and compare byte-for-byte. Guards analyzer/generator drift across
+    rounds (the north rule's per-url byte-identity invariant)."""
+    import hashlib
+    import json
+    import os
+
+    import numpy as np
+
+    from toshi_spark.fixtures import _gen_batch
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "webtext_analyzer_golden.json")
+    with open(path) as f:
+        golden = json.load(f)
+    pdf = _gen_batch(np.arange(golden["n_docs"]), golden["seed"])
+    for row, (u, t) in zip(golden["rows"], zip(pdf["url"], pdf["text"])):
+        assert u == row["url"]
+        assert hashlib.md5(t.encode()).hexdigest() == row["text_md5"]
+        toks = tokenize(t)
+        assert len(toks) == row["n_tokens"]
+        assert [list(x) for x in toks[:8]] == row["tokens_head"]
+        assert hashlib.md5(repr(toks).encode()).hexdigest() == row["tokens_md5"]

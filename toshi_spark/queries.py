@@ -487,6 +487,28 @@ aug_sh AS (
                           j -> array_to_string(a[j+1:j+3], ' '))
          ELSE [array_to_string(a, ' ')] END AS shingles
   FROM aug_arr
+),
+tokrows AS (
+  SELECT doc_id, unnest(a) AS tok, unnest(range(0, len(a))) AS pos
+  FROM aug_arr
+),
+tokh AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(tok), 1, 7)) AS BIGINT) AS a0,
+         CAST(('0x' || substr(md5(tok), 9, 7)) AS BIGINT) AS b0
+  FROM tokrows
+),
+tokw AS (
+  SELECT doc_id, pos, a0, b0,
+         lead(a0, 1) OVER win AS a1, lead(a0, 2) OVER win AS a2,
+         lead(b0, 1) OVER win AS b1, lead(b0, 2) OVER win AS b2
+  FROM tokh WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+shhash AS (
+  SELECT doc_id,
+         (a0 * 131 + coalesce(a1, 0)) * 131 + coalesce(a2, 0) AS h1,
+         ((b0 * 137 + coalesce(b1, 0)) * 137 + coalesce(b2, 0)) | 1 AS h2
+  FROM tokw WHERE a2 IS NOT NULL OR pos = 0
 )
 """
 
@@ -498,8 +520,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mh_sql_cols(n: int) -> str:
     return ",\n  ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}:' || s))) AS mh_{i}"
-        for i in range(n)
+        f"CAST(min(h1 + {i} * h2) AS BIGINT) AS mh_{i}" for i in range(n)
     )
 
 
@@ -583,12 +604,12 @@ ORACLES.update(
 WITH {_DOCS_AUG_SQL}, {_SHINGLES_SQL}
 SELECT doc_id,
   {_mh_sql_cols(4)}
-FROM aug_sh
+FROM shhash GROUP BY doc_id
 """,
         "lsh_pairs": f"""
 WITH {_DOCS_AUG_SQL}, {_SHINGLES_SQL}
 , sigs AS (
-  SELECT doc_id, {_mh_sql_cols(8)} FROM aug_sh
+  SELECT doc_id, {_mh_sql_cols(8)} FROM shhash GROUP BY doc_id
 ),
 banded AS (
   SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sigs
@@ -610,7 +631,7 @@ WHERE x.doc_id < y.doc_id
         "ngram_jaccard": f"""
 WITH {_DOCS_AUG_SQL}, {_SHINGLES_SQL}
 , sigs AS (
-  SELECT doc_id, {_mh_sql_cols(8)} FROM aug_sh
+  SELECT doc_id, {_mh_sql_cols(8)} FROM shhash GROUP BY doc_id
 ),
 banded AS (
   SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sigs
