@@ -190,3 +190,45 @@ def test_stream_ingest_autocommit(spark, tmp_path_factory):
     assert tables.n_docs == 15
     hello_df = tables.termstats.filter(F.col("term") == "hello").collect()
     assert hello_df[0]["df"] == 10
+
+
+def test_streaming_stateful_dedup(spark, tmp_path_factory):
+    """Cross-batch dedup via applyInPandasWithState: a hash emitted in
+    batch 1 must be suppressed when it reappears in batch 2."""
+    import json
+    import os
+
+    from toshi_spark.streaming.dedup import stream_dedup
+
+    src = str(tmp_path_factory.mktemp("sd_src"))
+    out = str(tmp_path_factory.mktemp("sd_out"))
+    ckpt = str(tmp_path_factory.mktemp("sd_ckpt"))
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "alpha beta"}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "alpha beta"}) + "\n")  # dup in-batch
+        f.write(json.dumps({"doc_id": 3, "text": "gamma delta"}) + "\n")
+    stream_dedup(spark, src, "doc_id long, text string", out, ckpt)
+    got1 = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(1, "alpha beta"), (3, "gamma delta")}
+    # batch 2: replays an old hash + adds a new one
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 9, "text": "alpha beta"}) + "\n")  # cross-batch dup
+        f.write(json.dumps({"doc_id": 10, "text": "epsilon"}) + "\n")
+    stream_dedup(spark, src, "doc_id long, text string", out, ckpt)
+    got2 = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+    assert got2 == {(1, "alpha beta"), (3, "gamma delta"), (10, "epsilon")}
+
+
+def test_lsh_ann_multi_probe_recall(spark):
+    """Multi-probe expands candidates (recall ≥ single-bucket) and stays
+    a strict subset of brute force."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    single = lsh_cosine_topk(emb, query_vec_id=0, k=10, n_planes=6)
+    multi = lsh_cosine_topk(emb, query_vec_id=0, k=10, n_planes=6,
+                            multi_probe=True)
+    s = [r.vec_id for r in single.collect()]
+    m = [r.vec_id for r in multi.collect()]
+    brute = [r.vec_id for r in cosine_topk(emb, query_vec_id=0, k=10).collect()]
+    # recall vs brute force must not decrease with multi-probe
+    assert len(set(m) & set(brute)) >= len(set(s) & set(brute))
+    assert m[0] == 0

@@ -123,28 +123,6 @@ def encode_run(
     return blocks
 
 
-def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (field, term, salt) group → block rows."""
-    field = pdf["field"].iloc[0]
-    term = pdf["term"].iloc[0]
-    salt = int(pdf["salt"].iloc[0]) if "salt" in pdf.columns else 0
-    rows = encode_run(pdf["doc_id"].values, pdf["tf"].values)
-    return pd.DataFrame(
-        {
-            "field": field,
-            "term": term,
-            "salt": salt,
-            "block_id": [r[0] for r in rows],
-            "first_doc": [r[1] for r in rows],
-            "last_doc": [r[2] for r in rows],
-            "count": [r[3] for r in rows],
-            "max_tf": [r[4] for r in rows],
-            "doc_deltas": [r[5] for r in rows],
-            "tfs": [r[6] for r in rows],
-        }
-    )
-
-
 def decode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: block rows → (field, term, doc_id, tf) rows."""
     for pdf in batches:

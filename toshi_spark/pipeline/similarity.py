@@ -152,15 +152,34 @@ def lsh_cosine_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
-    """ANN: score only vectors sharing the query's LSH bucket."""
+    """ANN: score only vectors sharing the query's LSH bucket.
+
+    ``multi_probe=True`` additionally probes every bucket at hamming
+    distance 1 from the query's (flip each plane bit) — the standard
+    recall/cost dial: candidates grow ~(n_planes+1)×, still a tiny
+    fraction of the corpus.
+    """
     sigs = rh_signatures(emb, n_planes, id_col, vec_col)
     qb = sigs.filter(F.col("vec_id") == query_vec_id).select(
         F.col("bucket").alias("qbucket")
     )
+    probes = qb.select(F.col("qbucket").alias("probe"))
+    if multi_probe:
+        flips = [
+            qb.select(
+                F.col("qbucket").bitwiseXOR(
+                    F.lit(1 << p).cast("long")
+                ).alias("probe")
+            )
+            for p in range(n_planes)
+        ]
+        for fdf in flips:
+            probes = probes.unionByName(fdf)
     cand_ids = (
-        sigs.crossJoin(F.broadcast(qb))
-        .filter(F.col("bucket") == F.col("qbucket"))
+        sigs.join(F.broadcast(probes), sigs["bucket"] == probes["probe"],
+                  "left_semi")
         .select(F.col("vec_id").alias("cand_id"))
     )
     cand = emb.join(cand_ids, emb[id_col] == cand_ids["cand_id"],
