@@ -63,7 +63,7 @@ def run_at(cores: int, n_docs: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(os.environ.get("SCALING_N_DOCS", "120000"))
+    n_docs = int(os.environ.get("SCALING_N_DOCS", "240000"))
     # Default pair is 2 -> 8 cores (the required 4x ratio): this
     # sandbox VM shows ~19% hypervisor CPU steal at sustained 32-wide
     # usage vs ~3% at 8-wide (measured via /proc/stat), so full-width
@@ -71,20 +71,36 @@ def main() -> None:
     # the software.  Override with SCALING_LO/SCALING_HI.
     lo_cores = int(os.environ.get("SCALING_LO", "2"))
     hi_cores = int(os.environ.get("SCALING_HI", "8"))
+    trials = int(os.environ.get("SCALING_TRIALS", "3"))
+    cooldown = int(os.environ.get("SCALING_COOLDOWN_SEC", "45"))
     ratio = hi_cores / lo_cores
-    lo = run_at(lo_cores, n_docs)
-    hi = run_at(hi_cores, n_docs)
-    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    # The sandbox hypervisor throttles sustained CPU (steal grows with
+    # recent usage), so single-shot timings vary ~2x run-to-run.
+    # Protocol: alternate lo/hi trials with idle cooldowns, report the
+    # MEDIAN throughput per level.
+    import statistics
+    import time
+
+    lo_runs, hi_runs = [], []
+    for t in range(trials):
+        lo_runs.append(run_at(lo_cores, n_docs)["docs_per_sec"])
+        time.sleep(cooldown)
+        hi_runs.append(run_at(hi_cores, n_docs)["docs_per_sec"])
+        if t < trials - 1:
+            time.sleep(cooldown)
+    lo_med = statistics.median(lo_runs)
+    hi_med = statistics.median(hi_runs)
+    eff = (hi_med / lo_med) / ratio
     print(json.dumps({
         "metric": (
             f"indexing throughput scaling local[{lo_cores}] -> "
-            f"local[{hi_cores}]"
+            f"local[{hi_cores}] (median of {trials} alternating trials)"
         ),
         "n_docs": n_docs,
-        f"local{lo_cores}_docs_per_sec": round(lo["docs_per_sec"], 2),
-        f"local{hi_cores}_docs_per_sec": round(hi["docs_per_sec"], 2),
-        f"local{lo_cores}_sec": round(lo["sec"], 2),
-        f"local{hi_cores}_sec": round(hi["sec"], 2),
+        f"local{lo_cores}_docs_per_sec": round(lo_med, 2),
+        f"local{hi_cores}_docs_per_sec": round(hi_med, 2),
+        f"local{lo_cores}_trials": [round(x, 1) for x in lo_runs],
+        f"local{hi_cores}_trials": [round(x, 1) for x in hi_runs],
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
     }))

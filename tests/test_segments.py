@@ -229,3 +229,20 @@ def test_regex_prefix_extraction():
     assert p(".*x") == ""
     assert p("foo{2}") == "fo"
     assert p("\\d+") == ""
+
+
+def test_open_without_rowstore_serves_nulls(spark, corpus, tmp_path_factory):
+    """An ingested index opened without its corpus still answers
+    queries; stored fields come back null instead of failing the plan."""
+    base = str(tmp_path_factory.mktemp("cat_norow"))
+    cat = IndexCatalog(spark, base)
+    cat.create_index("web", [
+        {"name": "text", "ftype": "text", "stored": True, "indexed": True,
+         "fast": False, "positions": True},
+    ])
+    cat.ingest("web", corpus.select("doc_id", "text"), id_col="doc_id")
+    ix = cat.open("web")  # no corpus, no rowstore
+    r = ix.search_json({"query": {"term": {"text": "w0"}}, "limit": 3})
+    assert r.hits == 3
+    assert all(d.doc["text"] is None for d in r.docs)
+    assert all(d.score > 0 for d in r.docs)

@@ -213,7 +213,11 @@ class IndexCatalog:
         each exact (field, term); returns docs_affected.
 
         Implemented as tombstones: matching doc ids append to a
-        tombstone table that queries anti-join against.
+        tombstone table that queries anti-join against; compaction
+        folds them in (merge.run_merge).  ``commit`` is accepted for
+        API parity but a tombstone append is already durable — there is
+        no uncommitted-delete state to flush (deviation noted: the
+        reference defers visibility to the next commit).
         """
         ix = self.open(name)
         matched = None
@@ -262,6 +266,13 @@ class IndexCatalog:
                 corpus = self.spark.read.parquet(rowstore)
             else:
                 corpus = tables.doclens.select("doc_id").distinct()
+        # stored-field retrieval needs every stored column present; an
+        # index opened without its row store (ingest() indexes a corpus
+        # the caller owns) serves nulls for missing stored fields
+        # instead of failing the search plan
+        for spec in schema.fields:
+            if spec.stored and spec.name not in corpus.columns:
+                corpus = corpus.withColumn(spec.name, F.lit(None))
         tomb = self._tombstones(name)
         if tomb is not None:
             tables = IndexTables(
