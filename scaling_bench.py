@@ -1,15 +1,17 @@
 """Two-parallelism scaling benchmark (the N vs 4N cluster criterion).
 
 No multi-node cluster exists in this sandbox, so per driver
-instruction the two-cluster-size scaling criterion is evidenced by
-running the SAME indexing job at local[8] and local[32] on the SAME
-deterministic synthetic webtext corpus and reporting throughput at
-both plus scaling efficiency = T8/T32 / 4 ... precisely:
+instruction the two-cluster-size criterion is evidenced by running the
+SAME indexing job at two local parallelism levels (default local[2] vs
+local[8] — the required 4x ratio; this VM throttles sustained 32-wide
+usage, see BASELINE.md) on the SAME identically-partitioned
+deterministic synthetic webtext corpus:
 
-    efficiency = (throughput_32 / throughput_8) / (32/8)
+    efficiency = (throughput_hi / throughput_lo) / (hi_cores / lo_cores)
 
 Each run is a separate spark-submit-style subprocess (a JVM can't
-change core count in-process).  Prints one JSON line.
+change core count in-process); trials alternate levels with idle
+cooldowns and report per-level medians.  Prints one JSON line.
 """
 
 from __future__ import annotations

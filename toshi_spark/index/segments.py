@@ -36,6 +36,12 @@ from .blocks import encode_sorted_blocks
 from .builder import IndexTables, build_index, salted_postings
 
 
+# bump when the on-disk segment layout changes: content-addressed
+# segment ids include it, so stale segments from an older format are
+# never mistaken for committed work
+SEGMENT_FORMAT_VERSION = 2
+
+
 @dataclass
 class ManifestEntry:
     segment_id: str
@@ -87,7 +93,10 @@ class Manifest:
 
 
 def segment_id_for(index_name: str, chunk_key: str, fingerprint: str) -> str:
-    h = hashlib.md5(f"{index_name}:{chunk_key}:{fingerprint}".encode())
+    h = hashlib.md5(
+        f"{index_name}:{chunk_key}:{fingerprint}:"
+        f"fmt{SEGMENT_FORMAT_VERSION}".encode()
+    )
     return f"seg-{h.hexdigest()[:16]}"
 
 
