@@ -55,10 +55,10 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     )
     digit_chars = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    # tokens are maximal alnum runs, so Σ token lengths ≡ alnum char
+    # count — mean token length without an interpreted fold
     mean_tok_len = F.when(
-        n_tokens > 0,
-        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
-        / n_tokens,
+        n_tokens > 0, alnum_chars / n_tokens
     ).otherwise(F.lit(0.0))
     stop_ratio = F.when(
         n_tokens > 0, _stopword_hits(toks, EN_STOPWORDS) / n_tokens
@@ -96,11 +96,19 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     """
     t = F.col(text_col)
     n = F.length(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - gram + 1, F.lit(1))),
-        lambda i: F.md5(F.encode(t.substr(i, F.lit(gram)), "utf-8")),
-    )
-    return docs.select(
+    # explode positions instead of a higher-order transform: HOF lambda
+    # bodies are interpreted per element, while the exploded
+    # substr→md5→min pipeline stays in whole-stage codegen
+    pos = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.array_min(grams).alias("fingerprint"),
+        t.alias("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(n - gram + 1, F.lit(1)))
+        ).alias("i"),
     )
+    hashed = pos.select(
+        "doc_id",
+        F.md5(F.encode(F.col("__t").substr(F.col("i"), F.lit(gram)),
+                       "utf-8")).alias("g"),
+    )
+    return hashed.groupBy("doc_id").agg(F.min("g").alias("fingerprint"))
