@@ -114,8 +114,15 @@ def test_add_document_and_delete_roundtrip(api):
     )
     assert resp["hits"] == 1
     code, resp = api.handle("DELETE", "/test_index",
-                            {"terms": {"test_text": "zebra"}})
+                            {"terms": {"test_text": "zebra"}},
+                            )
     assert code == 200 and resp["docs_affected"] == 1
+    # visibility defers to the next commit (reference semantics)
+    code, resp = api.handle(
+        "POST", "/test_index", {"query": {"term": {"test_text": "zebra"}}}
+    )
+    assert resp["hits"] == 1
+    api.handle("GET", "/test_index/_flush")
     code, resp = api.handle(
         "POST", "/test_index", {"query": {"term": {"test_text": "zebra"}}}
     )

@@ -172,9 +172,14 @@ def test_catalog_lifecycle(spark, tmp_path_factory):
     assert s["summaries"]["num_docs"] == 5
     assert len(s["summaries"]["segments"]) == 1
     assert all(v > 0 for v in s["summaries"]["segment_sizes"].values())
-    # delete by term → docs_affected, anti-joined at query time
+    # delete by term → docs_affected; visibility deferred to the next
+    # commit (reference semantics, handle.rs:184-210): the uncommitted
+    # delete is still visible in search, then invisible after flush
     n = cat.delete_term("test_index", {"test_text": "duckiment"})
     assert n == 1
+    ix_pre = cat.open("test_index", corpus=docs)
+    assert ix_pre.search_json({"query": None, "limit": 100}).hits == 5
+    cat.flush("test_index")
     ix2 = cat.open("test_index", corpus=docs)
     r2 = ix2.search_json({"query": {"regex": {"test_text": "d.*ument"}}})
     assert r2.hits == 4  # was 5 docs total, regex hit 4; duckiment gone → 4-1+...
@@ -216,6 +221,62 @@ def test_merge_folds_in_tombstones(spark, corpus, tmp_path_factory):
     # df recomputed: marker term gone from the dictionary
     assert after.termstats.filter(
         F.col("term") == "marker00000007").count() == 0
+
+
+def test_manifest_dedupes_replayed_append(spark, corpus, tmp_path_factory):
+    """A replayed foreachBatch (at-least-once) may append the same
+    segment id twice; readers must not double-load its postings."""
+    idx_dir = str(tmp_path_factory.mktemp("ix_replay"))
+    entries = build_segments(spark, corpus, idx_dir, n_chunks=1,
+                             index_name="web", salt_df_threshold=100)
+    single = open_segmented_tables(spark, idx_dir)
+    n_postings = single.postings.count()
+    Manifest(idx_dir).append(entries[0])  # simulate the replay
+    assert len(Manifest(idx_dir).entries()) == 1
+    replayed = open_segmented_tables(spark, idx_dir)
+    assert replayed.n_docs == 240
+    assert replayed.postings.count() == n_postings
+
+
+def test_flush_segment_ids_survive_merge_shrink(spark, tmp_path_factory):
+    """flush ids come from a persisted counter, not manifest length —
+    a post-merge manifest shrink must never produce a colliding id
+    (which would rmtree a live committed segment)."""
+    base = str(tmp_path_factory.mktemp("cat_flushid"))
+    cat = IndexCatalog(spark, base)
+    cat.create_index("fx", [
+        {"name": "text", "ftype": "text", "stored": True, "indexed": True,
+         "fast": False, "positions": True},
+    ])
+    seen: list[str] = []
+    for i in range(2):
+        cat.add_document("fx", {"text": f"alpha doc {i}"}, commit=True)
+        seen = [e.segment_id for e in Manifest(cat._dir("fx")).entries()]
+    # simulate a compaction that shrinks the manifest to 1 entry
+    man = Manifest(cat._dir("fx"))
+    man.replace_all(man.entries()[:1])
+    cat.add_document("fx", {"text": "alpha doc 2"}, commit=True)
+    ids_after = [e.segment_id for e in man.entries()]
+    assert len(ids_after) == len(set(ids_after)) == 2
+    # the new flush id is brand new, not a reuse of a pre-shrink id
+    assert ids_after[-1] not in seen
+    # the shrink dropped doc 1's segment; doc 0 and the new doc remain
+    ix = cat.open("fx")
+    assert ix.search_json({"query": {"term": {"text": "alpha"}}}).hits == 2
+
+
+def test_build_segments_routes_negative_and_null_ids(spark, tmp_path_factory):
+    """pmod routing: negative doc ids land in a chunk (Spark's % would
+    silently drop them when n_chunks > 1)."""
+    rows = [(-7, "neg seven words here"), (-1, "neg one text"),
+            (0, "zero text"), (5, "five text"), (11, "eleven text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx_dir = str(tmp_path_factory.mktemp("ix_neg"))
+    entries = build_segments(spark, df, idx_dir, n_chunks=3,
+                             index_name="neg", salt_df_threshold=100)
+    assert sum(e.docs for e in entries) == 5
+    tables = open_segmented_tables(spark, idx_dir)
+    assert tables.doclens.select("doc_id").distinct().count() == 5
 
 
 def test_regex_prefix_extraction():

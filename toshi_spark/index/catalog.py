@@ -182,25 +182,34 @@ class IndexCatalog:
             text_fields = [f.name for f in schema.text_fields()]
             tables = build_index(sdf, id_col="doc_id",
                                  text_fields=text_fields)
-            seg_id = segment_id_for(
-                name, f"flush-{len(Manifest(self._dir(name)).entries())}",
-                str(opstamp),
-            )
+            # monotonic persisted counter — NOT manifest length, which
+            # shrinks after merge compaction and could repeat with the
+            # same opstamp, colliding with (and rmtree-ing) a live
+            # committed segment
+            flush_no = int(meta.get("flush_counter", 0))
+            meta["flush_counter"] = flush_no + 1
+            seg_id = segment_id_for(name, f"flush-{flush_no}", str(opstamp))
             write_segment(self.spark, tables, self._dir(name), seg_id,
                           opstamp=opstamp)
             # stash the flushed rows so open() can serve stored fields
             rowstore = os.path.join(self._dir(name), "rowstore")
             sdf.write.mode("append").parquet(rowstore)
             os.remove(pending)
+        # deletes become visible at the commit point, like the reference
+        self._promote_pending_tombstones(name)
         meta["opstamp"] = 0
         self._save_meta(name, meta)
         return opstamp
 
     def rollback(self, name: str) -> None:
-        """Discard uncommitted adds (bulk.rs:121-129)."""
+        """Discard uncommitted adds AND deletes (bulk.rs:121-129)."""
         pending = os.path.join(self._dir(name), "pending.jsonl")
         if os.path.exists(pending):
             os.remove(pending)
+        shutil.rmtree(
+            os.path.join(self._dir(name), "tombstones_pending"),
+            ignore_errors=True,
+        )
         meta = self._meta(name)
         meta["opstamp"] = 0
         self._save_meta(name, meta)
@@ -214,10 +223,11 @@ class IndexCatalog:
 
         Implemented as tombstones: matching doc ids append to a
         tombstone table that queries anti-join against; compaction
-        folds them in (merge.run_merge).  ``commit`` is accepted for
-        API parity but a tombstone append is already durable — there is
-        no uncommitted-delete state to flush (deviation noted: the
-        reference defers visibility to the next commit).
+        folds them in (merge.run_merge).  Visibility mirrors the
+        reference's deferred-delete semantics (handle.rs:184-210 runs
+        ``writer.delete_term`` but readers only see it after the next
+        commit): without ``commit=True`` the tombstones land in a
+        PENDING area that searches ignore; flush/commit promotes them.
         """
         ix = self.open(name)
         matched = None
@@ -230,8 +240,8 @@ class IndexCatalog:
         if matched is None:
             return 0
         matched = matched.distinct()
-        tomb_dir = os.path.join(self._dir(name), "tombstones")
-        existing = self._tombstones(name)
+        pending_dir = os.path.join(self._dir(name), "tombstones_pending")
+        existing = self._tombstones(name, include_pending=True)
         fresh = (
             matched.join(existing, "doc_id", "left_anti")
             if existing is not None
@@ -239,16 +249,52 @@ class IndexCatalog:
         )
         n = fresh.count()
         if n:
-            fresh.write.mode("append").parquet(tomb_dir)
+            fresh.write.mode("append").parquet(pending_dir)
+        if commit:
+            self._promote_pending_tombstones(name)
         return n
 
-    def _tombstones(self, name: str) -> DataFrame | None:
-        tomb_dir = os.path.join(self._dir(name), "tombstones")
+    def _read_tomb_dir(self, name: str, dirname: str) -> DataFrame | None:
+        tomb_dir = os.path.join(self._dir(name), dirname)
         if os.path.exists(tomb_dir) and any(
             f.endswith(".parquet") for f in os.listdir(tomb_dir)
         ):
             return self.spark.read.parquet(tomb_dir)
         return None
+
+    def _tombstones(self, name: str,
+                    include_pending: bool = False) -> DataFrame | None:
+        committed = self._read_tomb_dir(name, "tombstones")
+        if not include_pending:
+            return committed
+        pending = self._read_tomb_dir(name, "tombstones_pending")
+        if committed is None:
+            return pending
+        if pending is None:
+            return committed
+        return committed.union(pending).distinct()
+
+    def _promote_pending_tombstones(self, name: str) -> None:
+        """Commit point for deletes: pending parquet → committed dir.
+
+        File moves (not a Spark rewrite): each pending part file is
+        renamed into the committed directory under a unique name, so
+        promotion is cheap and crash-safe (a re-run re-moves leftovers;
+        duplicate doc_ids across files are harmless — anti-join
+        semantics dedupe).
+        """
+        src = os.path.join(self._dir(name), "tombstones_pending")
+        if not os.path.exists(src):
+            return
+        dst = os.path.join(self._dir(name), "tombstones")
+        os.makedirs(dst, exist_ok=True)
+        for fn in os.listdir(src):
+            if fn.endswith(".parquet"):
+                os.replace(
+                    os.path.join(src, fn),
+                    os.path.join(dst, f"promoted-{int(time.time()*1e6)}-{fn}"),
+                )
+        shutil.rmtree(src, ignore_errors=True)
 
     # ------------------------------------------------------------- open
 

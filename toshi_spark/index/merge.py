@@ -112,11 +112,14 @@ def run_merge(
             index_name, "merge:" + "+".join(sorted(e.segment_id for e in bucket)),
             "v1",
         )
-        # write_segment appends to the manifest; we rewrite it below to
-        # drop the merged members (atomic replace_all)
+        # publish=False: the payload lands on disk but is NOT appended
+        # to the manifest — the single replace_all below swaps members
+        # for merged entries atomically, so no reader (or crash window)
+        # ever sees a manifest listing both
         entry = write_segment(
             spark, tables, index_dir, new_id,
             opstamp=max(e.opstamp for e in bucket),
+            publish=False,
         )
         for e in bucket:
             remaining.pop(e.segment_id, None)

@@ -66,12 +66,17 @@ class Manifest:
     def entries(self) -> list[ManifestEntry]:
         if not os.path.exists(self.path):
             return []
-        out = []
+        # dedupe by segment_id (keep last): foreachBatch replay or a
+        # crashed writer retry may append the same id twice; readers
+        # must never double-load a segment's postings (that would
+        # double tf/df and corrupt BM25 scores)
+        by_id: dict[str, ManifestEntry] = {}
         with open(self.path) as f:
             for line in f:
                 if line.strip():
-                    out.append(ManifestEntry(**json.loads(line)))
-        return out
+                    e = ManifestEntry(**json.loads(line))
+                    by_id[e.segment_id] = e
+        return list(by_id.values())
 
     def committed_ids(self) -> set[str]:
         return {e.segment_id for e in self.entries()}
@@ -117,8 +122,15 @@ def write_segment(
     salt_df_threshold: int = 100_000,
     n_salts: int = 16,
     term_partitions: int | None = None,
+    publish: bool = True,
 ) -> ManifestEntry:
     """Write one segment durably and commit it to the manifest.
+
+    ``publish=False`` writes the segment payload and returns the entry
+    WITHOUT appending to the manifest — callers that must swap several
+    entries atomically (merge compaction) publish via a single
+    ``Manifest.replace_all`` instead, so readers never observe a
+    window where merged docs exist twice.
 
     Postings are range-partitioned by (field, term) and sorted within
     partitions by (field, term, doc_id) — the layout that makes term
@@ -222,7 +234,8 @@ def write_segment(
         bytes=seg_bytes,
         committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     )
-    Manifest(index_dir).append(entry)
+    if publish:
+        Manifest(index_dir).append(entry)
     return entry
 
 
@@ -253,8 +266,16 @@ def build_segments(
                                 fingerprint)
         if seg_id in done:
             continue
+        # pmod (not %): Spark's % keeps the dividend's sign, so negative
+        # doc ids would match no chunk and silently vanish from the
+        # index; coalesce routes null/uncastable ids to chunk 0 — every
+        # row matches exactly one chunk by construction
         part = corpus.filter(
-            (F.col(id_col) % F.lit(n_chunks)) == F.lit(chunk)
+            F.coalesce(
+                F.pmod(F.col(id_col).cast("long"), F.lit(n_chunks)),
+                F.lit(0),
+            )
+            == F.lit(chunk)
         )
         tables = build_index(part, id_col=id_col, text_fields=text_fields)
         entry = write_segment(

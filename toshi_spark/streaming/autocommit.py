@@ -20,7 +20,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 from ..index.builder import build_index
-from ..index.segments import segment_id_for, write_segment
+from ..index.segments import Manifest, segment_id_for, write_segment
 
 
 def stream_ingest(
@@ -55,9 +55,17 @@ def stream_ingest(
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        seg_id = segment_id_for(index_name, f"batch-{batch_id}", "stream")
+        # foreachBatch is at-least-once: a crash between the manifest
+        # append and the streaming checkpoint replays the batch.  The
+        # batch id is baked into the segment id, so the committed set
+        # tells us whether this batch already landed — skip instead of
+        # re-appending (a duplicate manifest entry would double-load
+        # the segment's postings and corrupt tf/df)
+        if seg_id in Manifest(index_dir).committed_ids():
+            return
         tables = build_index(batch_df, id_col=id_col,
                              text_fields=text_fields)
-        seg_id = segment_id_for(index_name, f"batch-{batch_id}", "stream")
         write_segment(spark, tables, index_dir, seg_id,
                       opstamp=batch_id + 1)
 
