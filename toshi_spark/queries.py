@@ -563,10 +563,19 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-level feature vectors (rows-only check: no SQL oracle)."""
+    """Byte-level feature vectors: all 8 normalized histogram bins.
+
+    Oracle-verified: the byte histogram is SQL-expressible (unnest byte
+    positions → ascii bucketing), so the whole mapInPandas feature path
+    is value-checked, not just row-counted.
+    """
     feats = extract_features(attach_binary(load_documents(spark, sf_dir)))
     return feats.select(
-        "doc_id", F.round(F.element_at("feat", 1), 4).alias("feat0"),
+        "doc_id",
+        *[
+            F.round(F.element_at("feat", i + 1), 4).alias(f"feat{i}")
+            for i in range(8)
+        ],
         F.size("feat").alias("n_dims"),
     )
 
@@ -776,6 +785,33 @@ SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
        md5(text) AS content_hash
 FROM documents
 """,
+        # np.histogram(bytes, bins=8, range=(0,256)) ≡ bucket = byte // 32
+        # (internal edges bind right, 255 < 256 lands in the last bin);
+        # normalized by byte count, zeros for empty payloads
+        "multimodal_features": f"""
+WITH pos AS (
+  SELECT doc_id, strlen(text) AS n, text,
+         unnest(range(1, strlen(text) + 1)) AS i
+  FROM documents
+),
+bins AS (
+  SELECT doc_id,
+         ascii(substr(text, CAST(i AS INTEGER), 1)) // 32 AS bin
+  FROM pos
+),
+h AS (
+  SELECT doc_id,
+  {", ".join(f"sum(CASE WHEN bin = {b} THEN 1 ELSE 0 END) AS c{b}"
+             for b in range(8))}
+  FROM bins GROUP BY doc_id
+)
+SELECT d.doc_id,
+  {", ".join(
+      f"round(coalesce(h.c{b}, 0) * 1.0 / greatest(strlen(d.text), 1), 4)"
+      f" AS feat{b}" for b in range(8))},
+  CAST(8 AS INTEGER) AS n_dims
+FROM documents d LEFT JOIN h USING (doc_id)
+""",
         "ft_blockmax_topk": _bm25_sql(["query", "window", "stream"], "p.tf", 20),
     }
 )
@@ -797,16 +833,48 @@ QUERIES.update(
 )
 
 
+def _emb_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ 5 injected near-duplicates (ids shifted by 100000).
+
+    The copies are scaled by 1.5 with per-element rounding back to
+    float: positive scaling preserves every hyperplane projection's
+    sign (same LSH bucket, guaranteed candidate pair) and cosine ≈ 1.0,
+    so the ≥ threshold path is actually exercised — the raw sf tables
+    have no near-dups, which made the old green check vacuous.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    pert = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.5)).cast("float")
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH-blocked), threshold 0.8."""
     from .pipeline.similarity import embedding_neardup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, threshold=0.8, n_planes=8)
+    return embedding_neardup_pairs(
+        _emb_with_neardups(spark, sf_dir), threshold=0.8, n_planes=8
+    )
 
 
-ORACLES["embedding_neardup"] = """
-WITH planes AS (
+_EMB_AUG_SQL = """
+emb_aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(embedding, x -> CAST(x * 1.5 AS REAL)) AS embedding
+  FROM embeddings WHERE vec_id < 5
+)
+"""
+
+ORACLES["embedding_neardup"] = f"""
+WITH {_EMB_AUG_SQL}, planes AS (
   SELECT p.range AS plane, d.range AS dim_idx,
          CASE WHEN CAST(('0x' || substr(
                 md5(p.range::VARCHAR || ':' || d.range::VARCHAR), 1, 2))
@@ -817,7 +885,7 @@ WITH planes AS (
 exploded AS (
   SELECT vec_id, unnest(embedding)::DOUBLE AS x,
          unnest(range(0, len(embedding))) AS dim_idx
-  FROM embeddings
+  FROM emb_aug
 ),
 proj AS (
   SELECT e.vec_id, p.plane, sum(e.x * p.coef) AS proj
@@ -840,8 +908,8 @@ elems AS (
          unnest(ea.embedding)::DOUBLE AS xa,
          unnest(eb.embedding)::DOUBLE AS xb
   FROM pairs p
-  JOIN embeddings ea ON ea.vec_id = p.a
-  JOIN embeddings eb ON eb.vec_id = p.b
+  JOIN emb_aug ea ON ea.vec_id = p.a
+  JOIN emb_aug eb ON eb.vec_id = p.b
 ),
 s AS (
   SELECT a, b, sum(xa * xb) AS dot, sum(xa * xa) AS na, sum(xb * xb) AS nb
