@@ -66,6 +66,27 @@ def plane_coef(p, i):
     return F.when(first_byte % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
+def _plane_matrix(n_planes: int, dim: int):
+    """±1 plane coefficients from md5 parity — the same deterministic
+    rule as ``plane_coef`` (and the SQL oracle), computed driver-side."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:2], 16)
+                % 2 == 0
+                else -1.0
+                for i in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+    )
+
+
 def rh_signatures(
     emb: DataFrame,
     n_planes: int = 8,
@@ -75,38 +96,51 @@ def rh_signatures(
     """(vec_id, bucket): random-hyperplane sign bucket per vector.
 
     Plane p's projection = Σ_i coef(p,i)·v[i]; bit p = projection > 0.
-    Computed via posexplode + broadcast plane join + two-level agg —
-    shuffle volume is (rows × n_planes) small ints.
+
+    Computed as a ``mapInArrow`` numpy matmul: each Arrow batch's
+    vectors become one (n × dim) matrix, ``V @ P.T`` gives all plane
+    projections at once, and the sign bits pack into the bucket —
+    zero shuffle, zero intermediate rows.  The previous column-algebra
+    form (posexplode rows×dim + broadcast plane join + two groupBys)
+    materialized ~dim× the input; at 100 TB that intermediate IS the
+    job, so the batched kernel is the scale shape.
     """
-    spark = emb.sparkSession
+    import numpy as np
+    import pyarrow as pa
+
     dim = len(emb.select(vec_col).first()[0])
-    planes = spark.range(n_planes).alias("p").crossJoin(
-        spark.range(dim).alias("d")
-    ).select(
-        F.col("p.id").cast("int").alias("plane"),
-        F.col("d.id").cast("int").alias("dim_idx"),
-        plane_coef(F.col("p.id"), F.col("d.id")).alias("coef"),
+    planes_t = _plane_matrix(n_planes, dim).T  # (dim, n_planes)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    out_schema = pa.schema(
+        [pa.field("vec_id", pa.int64()), pa.field("bucket", pa.int64())]
     )
-    exploded = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(_as_double(F.col(vec_col))).alias("dim_idx", "x"),
-    )
-    proj = (
-        exploded.join(F.broadcast(planes), "dim_idx")
-        .groupBy("vec_id", "plane")
-        .agg(F.sum(F.col("x") * F.col("coef")).alias("proj"))
-    )
-    bucket = (
-        proj.withColumn(
-            "bit",
-            F.when(F.col("proj") > 0,
-                   F.expr("shiftleft(CAST(1 AS BIGINT), plane)"))
-            .otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy("vec_id")
-        .agg(F.sum("bit").cast("long").alias("bucket"))
-    )
-    return bucket
+
+    def kernel(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype("int64")
+            lists = b.column(1)
+            flat = lists.flatten().to_numpy(zero_copy_only=False)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"ragged embedding column: expected {n}x{dim}, "
+                    f"got {flat.size} values"
+                )
+            v = flat.astype(np.float64, copy=False).reshape(n, dim)
+            proj = v @ planes_t  # (n, n_planes)
+            buckets = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(buckets, type=pa.int64())],
+                schema=out_schema,
+            )
+
+    return emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col)
+    ).mapInArrow(kernel, "vec_id long, bucket long")
 
 
 def embedding_neardup_pairs(

@@ -86,29 +86,60 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# polynomial rolling-hash parameters: prime modulus 2^31-1 keeps every
+# intermediate inside int64 on BOTH engines (numpy products stay under
+# 2^42; DuckDB's nested-mod form stays under 2^51 — DuckDB raises on
+# BIGINT overflow rather than wrapping, so mod-2^64 hashing is out)
+FP_BASE = 1_000_003
+FP_MOD = 2_147_483_647
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", gram: int = 8) -> DataFrame:
-    """Content fingerprint: min over character n-gram hashes.
+    """Content fingerprint: min over character n-gram rolling hashes.
 
     The rolling-hash/winnowing family collapsed to its min-hash core:
-    fp = min_i md5(text[i:i+gram]) — shift-invariant, locality-robust,
-    computed with sequence+transform+array_min (zero UDF).
+    fp = min_j poly_hash(text[j:j+gram]) with a Karp-Rabin polynomial
+    mod 2^31-1 — shift-invariant and locality-robust.
+
+    Computed as a ``mapInArrow`` kernel: per doc, one numpy
+    sliding-window matmul against the power kernel.  The previous form
+    exploded one row per character position — in codegen, but at
+    100 TB it materializes ~total-bytes rows before the min-agg; the
+    batched kernel touches each byte once with zero intermediate rows.
+    Texts shorter than ``gram`` hash as one zero-padded window; empty
+    text hashes to 0.
     """
-    t = F.col(text_col)
-    n = F.length(t)
-    # explode positions instead of a higher-order transform: HOF lambda
-    # bodies are interpreted per element, while the exploded
-    # substr→md5→min pipeline stays in whole-stage codegen
-    pos = docs.select(
-        F.col(id_col).alias("doc_id"),
-        t.alias("__t"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(n - gram + 1, F.lit(1)))
-        ).alias("i"),
-    )
-    hashed = pos.select(
-        "doc_id",
-        F.md5(F.encode(F.col("__t").substr(F.col("i"), F.lit(gram)),
-                       "utf-8")).alias("g"),
-    )
-    return hashed.groupBy("doc_id").agg(F.min("g").alias("fingerprint"))
+    import numpy as np
+    import pyarrow as pa
+
+    kernel = np.empty(gram, dtype=np.int64)
+    kernel[gram - 1] = 1
+    for t in range(gram - 2, -1, -1):
+        kernel[t] = (kernel[t + 1] * FP_BASE) % FP_MOD
+
+    def kern(batches):
+        pad = np.zeros(gram - 1, dtype=np.uint8)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            out = np.zeros(b.num_rows, dtype=np.int64)
+            for r, s in enumerate(b.column(1).to_pylist()):
+                bs = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8)
+                if bs.size == 0:
+                    continue
+                padded = np.concatenate([bs, pad])
+                w = np.lib.stride_tricks.sliding_window_view(padded, gram)[
+                    : max(bs.size - gram + 1, 1)
+                ]
+                out[r] = ((w.astype(np.int64) @ kernel) % FP_MOD).min()
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(out, type=pa.int64())],
+                names=["doc_id", "fingerprint"],
+            )
+
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+    ).mapInArrow(kern, "doc_id long, fingerprint long")

@@ -597,6 +597,21 @@ def q_blockmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", _r4())
 
 
+def _fp_nested_sql(gram: int) -> str:
+    """Nested ((h*B + byte) % M) rolling-hash expression for one window
+    starting at position j (1-based), zero for out-of-range bytes."""
+    from .pipeline.textstats import FP_BASE, FP_MOD
+
+    h = "CAST(0 AS BIGINT)"
+    for t in range(gram):
+        byte = (
+            f"CASE WHEN j + {t} <= strlen(text) THEN "
+            f"ascii(substr(text, CAST(j + {t} AS INTEGER), 1)) ELSE 0 END"
+        )
+        h = f"((({h}) * {FP_BASE} + {byte}) % {FP_MOD})"
+    return h
+
+
 _SIMHASH_BITS = 16
 _simhash_sums = ",\n  ".join(
     f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
@@ -772,12 +787,17 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
   ) AS quality
 FROM feat
 """,
-        "fingerprint": """
+        # Karp-Rabin polynomial mod 2^31-1 over 8-byte windows, zero-
+        # padded past the end; nested (h*B + byte) % M per step is
+        # algebraically identical to the engine's kernel-dot-mod form
+        "fingerprint": f"""
 SELECT doc_id,
-  list_min(list_transform(
-    range(1, greatest(length(text) - 7, 1) + 1),
-    i -> md5(substr(text, CAST(i AS INTEGER), 8))
-  )) AS fingerprint
+  CASE WHEN strlen(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+    CAST(list_min(list_transform(
+      range(1, greatest(strlen(text) - 7, 1) + 1),
+      j -> {_fp_nested_sql(8)}
+    )) AS BIGINT)
+  END AS fingerprint
 FROM documents
 """,
         "multimodal_meta": """
