@@ -183,6 +183,67 @@ def test_raw_unindexed_field(index):  # search.rs:93-101
         run(index, {"query": {"raw": "test_unindex:yes"}})
 
 
+def test_raw_grouping_parens(index):
+    # Tantivy's full QueryParser supports grouping (handle.rs:115-119)
+    r = run(index, {"query": {"raw": "document AND (1 OR 4)"}, "limit": 10})
+    assert r.hits == 2
+    assert sorted(d.doc["test_text"] for d in r.docs) == [
+        "Test Document 1", "Test Document 4"]
+
+
+def test_raw_nested_grouping(index):
+    r = run(index, {"query": {"raw": "(test AND (duckiment OR dockument))"},
+                    "limit": 10})
+    assert sorted(d.doc["test_text"] for d in r.docs) == [
+        "Test Dockument 2", "Test Duckiment 3"]
+
+
+def test_raw_boost_scales_scores(index):
+    base = run(index, {"query": {"raw": "test_text:document"}, "limit": 10})
+    boosted = run(index, {"query": {"raw": "test_text:document^2"}, "limit": 10})
+    assert base.hits == boosted.hits == 3
+    b = {d.doc["test_text"]: d.score for d in base.docs}
+    for d in boosted.docs:
+        assert d.score == 2 * b[d.doc["test_text"]]
+
+
+def test_raw_boosted_group(index):
+    base = run(index, {"query": {"raw": "(1 OR 4)"}, "limit": 10})
+    half = run(index, {"query": {"raw": "(1 OR 4)^0.5"}, "limit": 10})
+    b = {d.doc["test_text"]: d.score for d in base.docs}
+    assert half.hits == 2
+    for d in half.docs:
+        assert d.score == 0.5 * b[d.doc["test_text"]]
+
+
+def test_raw_intra_word_hyphen_is_not_negation(index):
+    # 'test-document' analyzes to [test, document] (OR), it does NOT
+    # become should(test) + must_not(document)
+    r = run(index, {"query": {"raw": "test-document"}, "limit": 10})
+    assert r.hits == 5  # every fixture doc contains 'test'
+
+
+def test_raw_leading_minus_still_negates(index):
+    r = run(index, {"query": {"raw": "document -duckiment"}, "limit": 10})
+    assert r.hits == 3
+    r2 = run(index, {"query": {"raw": "test -document"}, "limit": 10})
+    assert sorted(d.doc["test_text"] for d in r2.docs) == [
+        "Test Dockument 2", "Test Duckiment 3"]
+
+
+@pytest.mark.parametrize("bad", [
+    "(document",          # unbalanced open paren
+    "document)",          # unbalanced close paren
+    "docu*",              # wildcard unsupported
+    "document^",          # boost without a number
+    "document ^2",        # free-standing boost operator
+    "()",                 # empty group
+])
+def test_raw_pinned_syntax_errors(index, bad):
+    with pytest.raises(QueryError, match=r"Syntax Error"):
+        run(index, {"query": {"raw": bad}})
+
+
 def test_all_docs_when_query_missing(index):  # search.rs:17 substitution
     r = run(index, {"limit": 10})
     assert r.hits == 5

@@ -38,6 +38,7 @@ from ..schema import QueryError
 from .dsl import (
     AllQuery,
     BoolQuery,
+    BoostQuery,
     ExactTerm,
     FuzzyQuery,
     PhraseQuery,
@@ -377,6 +378,11 @@ class Compiler:
             return self.compile_bool(q)
         if isinstance(q, AllQuery):
             return self.compile_all(q)
+        if isinstance(q, BoostQuery):
+            # Tantivy BoostQuery: multiply the inner scorer's score
+            return self.compile(q.inner).withColumn(
+                "score", F.col("score") * F.lit(float(q.boost))
+            )
         if isinstance(q, RawQuery):
             from .raw import parse_raw
 

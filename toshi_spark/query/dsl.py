@@ -161,6 +161,23 @@ class BoolQuery(Query):
 
 
 @dataclass
+class BoostQuery(Query):
+    """Score multiplier wrapper (Lucene ``clause^boost``).
+
+    Only produced by the raw query-string parser — the JSON DSL's
+    ``boost`` field is parsed-but-dropped (reference quirk,
+    ``boolean.rs:47-61``), while Tantivy's QueryParser (the raw path,
+    ``handle.rs:115-119``) wraps the clause in a real BoostQuery.
+    """
+
+    inner: Query
+    boost: float
+
+    def validate(self) -> None:
+        self.inner.validate()
+
+
+@dataclass
 class RawQuery(Query):
     raw: str
 

@@ -1,4 +1,4 @@
-"""Raw query-string parser (Lucene-lite grammar → DSL tree).
+"""Raw query-string parser (Lucene-style grammar → DSL tree).
 
 The reference passes ``{"raw": "..."}`` straight to Tantivy's
 ``QueryParser`` with ALL schema fields as default fields
@@ -17,14 +17,20 @@ The reference passes ``{"raw": "..."}`` straight to Tantivy's
 - implicit occur between clauses is Should (Tantivy default; AND / ``+``
   makes Must, NOT / ``-`` makes MustNot).
 
-Supported grammar subset::
+Supported grammar::
 
     query   := clause ((AND|OR)? clause)*
-    clause  := [+|-] [field ':'] (TERM | '"' TERM* '"')
-    TERM    := analyzer tokens
+    clause  := [+|-|NOT] primary ['^' NUMBER]
+    primary := '(' query ')'
+             | [field ':'] (TERM | '"' TERM* '"' | '[' lo TO hi ']')
+    TERM    := analyzer tokens (intra-word '-' and '.' stay in the
+               term text and are split by the analyzer — '-' is the
+               MustNot operator only at clause start)
 
-Unsupported Lucene syntax (ranges, boosts, wildcards, grouping) raises
-the pinned Syntax Error.
+``clause^boost`` wraps the clause in a BoostQuery (score multiplier),
+matching Tantivy's QueryParser.  Still-unsupported Lucene syntax
+(wildcards ``*``/``?``, fuzzy ``~``, field-grouping ``f:(a b)``)
+raises the pinned Syntax Error.
 """
 
 from __future__ import annotations
@@ -33,88 +39,134 @@ import re
 
 from ..analyzer import terms_only
 from ..schema import IndexSchema, QueryError
-from .dsl import BoolQuery, ExactTerm, PhraseQuery, Query, RangeQuery
+from .dsl import BoolQuery, BoostQuery, ExactTerm, PhraseQuery, Query, RangeQuery
 
 _RANGE_RE = re.compile(
     r"""(?P<lb>[\[{])\s*(?P<lo>\*|-?\d+)\s+TO\s+(?P<hi>\*|-?\d+)\s*(?P<rb>[\]}])"""
 )
 
+_BOOST_RE = re.compile(r"\^(?P<boost>\d+(?:\.\d+)?)")
+
+# term text may contain intra-word '-' and '.' (the analyzer splits
+# them); it may not START with '-' so the MustNot operator still
+# tokenizes at clause start
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<and>AND\b)
       | (?P<or>OR\b)
       | (?P<not>NOT\b)
+      | (?P<lparen>\()
+      | (?P<rparen>\))
       | (?P<plus>\+)
       | (?P<minus>-)
       | (?P<field>[\w][\w.]*)\s*:
       | (?P<quoted>"[^"]*")
-      | (?P<term>[\w][\w.]*)
+      | (?P<term>[\w][\w.\-]*)
     )""",
     re.VERBOSE | re.UNICODE,
 )
 
 
-def parse_raw(raw: str, schema: IndexSchema) -> Query:
-    pos = 0
-    clauses: list[tuple[str, Query]] = []  # (occur, query)
-    pending_occur = "should"
-    promote_next_and = False
-    n = len(raw)
-    while pos < n:
-        if raw[pos].isspace():
-            pos += 1
-            continue
-        m = _TOKEN_RE.match(raw, pos)
-        if not m or m.end() == pos:
-            raise QueryError(f"Syntax Error: {raw}")
-        pos = m.end()
-        if m.group("and"):
-            # AND promotes both neighbors to must
-            if clauses:
-                clauses[-1] = ("must", clauses[-1][1])
-            promote_next_and = True
-            continue
-        if m.group("or"):
+class _Parser:
+    def __init__(self, raw: str, schema: IndexSchema):
+        self.raw = raw
+        self.schema = schema
+        self.pos = 0
+        self.n = len(raw)
+
+    def err(self) -> QueryError:
+        return QueryError(f"Syntax Error: {self.raw}")
+
+    def _skip_ws(self) -> None:
+        while self.pos < self.n and self.raw[self.pos].isspace():
+            self.pos += 1
+
+    def at_end(self) -> bool:
+        self._skip_ws()
+        return self.pos >= self.n
+
+    def peek_rparen(self) -> bool:
+        self._skip_ws()
+        return self.pos < self.n and self.raw[self.pos] == ")"
+
+    def next_token(self) -> re.Match:
+        m = _TOKEN_RE.match(self.raw, self.pos)
+        if not m or m.end() == self.pos:
+            raise self.err()
+        self.pos = m.end()
+        return m
+
+    # --------------------------------------------------------- grammar
+
+    def parse_query(self, depth: int = 0) -> Query:
+        """clause ((AND|OR)? clause)* — until EOF or the group's ')'."""
+        clauses: list[tuple[str, Query]] = []  # (occur, query)
+        pending_occur = "should"
+        promote_next_and = False
+        while not self.at_end():
+            if self.peek_rparen():
+                break
+            m = self.next_token()
+            if m.group("and"):
+                # AND promotes both neighbors to must
+                if clauses:
+                    clauses[-1] = ("must", clauses[-1][1])
+                promote_next_and = True
+                continue
+            if m.group("or"):
+                pending_occur = "should"
+                continue
+            if m.group("not") or m.group("minus"):
+                pending_occur = "must_not"
+                continue
+            if m.group("plus"):
+                pending_occur = "must"
+                continue
+            if m.group("rparen"):
+                raise self.err()  # unbalanced ')'
+
+            sub = self._parse_primary(m, depth)
+            sub = self._maybe_boost(sub)
+
+            occur = pending_occur
+            if promote_next_and:
+                occur = "must"
+                promote_next_and = False
             pending_occur = "should"
-            continue
-        if m.group("not") or m.group("minus"):
-            pending_occur = "must_not"
-            continue
-        if m.group("plus"):
-            pending_occur = "must"
-            continue
+            if sub is not None:
+                clauses.append((occur, sub))
+
+        if not clauses:
+            raise self.err()
+        if len(clauses) == 1 and clauses[0][0] == "should":
+            return clauses[0][1]
+        return BoolQuery(
+            must=[q for o, q in clauses if o == "must"],
+            must_not=[q for o, q in clauses if o == "must_not"],
+            should=[q for o, q in clauses if o == "should"],
+            allow_nested=True,
+        )
+
+    def _parse_primary(self, m: re.Match, depth: int) -> Query | None:
+        if m.group("lparen"):
+            sub = self.parse_query(depth + 1)
+            self._skip_ws()
+            if self.pos >= self.n or self.raw[self.pos] != ")":
+                raise self.err()
+            self.pos += 1
+            return sub
 
         field_name: str | None = None
         if m.group("field"):
             field_name = m.group("field")
             # Lucene range syntax: field:[lo TO hi] / field:{lo TO hi}
-            mr = _RANGE_RE.match(raw, pos)
+            mr = _RANGE_RE.match(self.raw, self.pos)
             if mr:
-                pos = mr.end()
-                spec = schema.get(field_name)
-                if spec is None:
-                    raise QueryError(f"Unknown field: {field_name}")
-                if not spec.indexed:
-                    raise QueryError(
-                        f"The field '{field_name}' is not declared as indexed"
-                    )
-                lo, hi = mr.group("lo"), mr.group("hi")
-                kw: dict = {}
-                if lo != "*":
-                    kw["gte" if mr.group("lb") == "[" else "gt"] = int(lo)
-                if hi != "*":
-                    kw["lte" if mr.group("rb") == "]" else "lt"] = int(hi)
-                occur = pending_occur
-                if promote_next_and:
-                    occur = "must"
-                    promote_next_and = False
-                pending_occur = "should"
-                clauses.append((occur, RangeQuery(field_name, **kw)))
-                continue
-            m2 = _TOKEN_RE.match(raw, pos)
-            if not m2 or not (m2.group("quoted") or m2.group("term")):
-                raise QueryError(f"Syntax Error: {raw}")
-            pos = m2.end()
+                self.pos = mr.end()
+                return self._range_query(field_name, mr)
+            m2 = self.next_token()
+            if not (m2.group("quoted") or m2.group("term")):
+                raise self.err()
             value, quoted = (
                 (m2.group("quoted")[1:-1], True)
                 if m2.group("quoted")
@@ -127,36 +179,56 @@ def parse_raw(raw: str, schema: IndexSchema) -> Query:
                 else (m.group("term"), False)
             )
 
-        occur = pending_occur
-        if promote_next_and:
-            occur = "must"
-            promote_next_and = False
-        pending_occur = "should"
-
         fields = [field_name] if field_name else [
-            f.name for f in schema.fields if f.ftype == "text" and f.indexed
+            f.name for f in self.schema.fields if f.ftype == "text" and f.indexed
         ]
         for f in fields:
-            spec = schema.get(f)
+            spec = self.schema.get(f)
             if spec is None:
                 raise QueryError(f"Unknown field: {f}")
             if not spec.indexed:
                 raise QueryError(f"The field '{f}' is not declared as indexed")
+        return _value_query(fields, value, quoted)
 
-        sub = _value_query(fields, value, quoted)
-        if sub is not None:
-            clauses.append((occur, sub))
+    def _range_query(self, field_name: str, mr: re.Match) -> Query:
+        spec = self.schema.get(field_name)
+        if spec is None:
+            raise QueryError(f"Unknown field: {field_name}")
+        if not spec.indexed:
+            raise QueryError(
+                f"The field '{field_name}' is not declared as indexed"
+            )
+        lo, hi = mr.group("lo"), mr.group("hi")
+        kw: dict = {}
+        if lo != "*":
+            kw["gte" if mr.group("lb") == "[" else "gt"] = int(lo)
+        if hi != "*":
+            kw["lte" if mr.group("rb") == "]" else "lt"] = int(hi)
+        return RangeQuery(field_name, **kw)
 
-    if not clauses:
-        raise QueryError(f"Syntax Error: {raw}")
-    if len(clauses) == 1 and clauses[0][0] == "should":
-        return clauses[0][1]
-    return BoolQuery(
-        must=[q for o, q in clauses if o == "must"],
-        must_not=[q for o, q in clauses if o == "must_not"],
-        should=[q for o, q in clauses if o == "should"],
-        allow_nested=True,
-    )
+    def _maybe_boost(self, sub: Query | None) -> Query | None:
+        """clause^NUMBER → BoostQuery wrapper (Tantivy QueryParser).
+
+        The '^' must immediately follow the clause (no whitespace) —
+        a free-standing '^' is a syntax error.
+        """
+        mb = _BOOST_RE.match(self.raw, self.pos)
+        if not mb:
+            if self.pos < self.n and self.raw[self.pos] == "^":
+                raise self.err()  # '^' without a number
+            return sub
+        self.pos = mb.end()
+        if sub is None:
+            return None
+        return BoostQuery(sub, float(mb.group("boost")))
+
+
+def parse_raw(raw: str, schema: IndexSchema) -> Query:
+    p = _Parser(raw, schema)
+    q = p.parse_query()
+    if not p.at_end():
+        raise p.err()  # trailing garbage (e.g. unbalanced ')')
+    return q
 
 
 def _value_query(fields: list[str], value: str, quoted: bool) -> Query | None:
