@@ -43,6 +43,83 @@ def test_empty_and_punct_only():
     assert tokenize("!!! ---") == []
 
 
+def test_cjk_bigram_tokenizer():
+    from toshi_spark.analyzer import terms_for
+
+    assert terms_for("今天天气很好", "cang_jie") == [
+        "今天", "天天", "天气", "气很", "很好"]
+    # mixed scripts: non-CJK runs use the default chain (lowercased)
+    assert terms_for("Spark处理大数据", "cang_jie") == [
+        "spark", "处理", "理大", "大数", "数据"]
+    # single CJK char run → unigram
+    assert terms_for("一", "cang_jie") == ["一"]
+
+
+def test_raw_tokenizer_verbatim():
+    from toshi_spark.analyzer import terms_for
+
+    assert terms_for("Exact-Value KEPT", "raw") == ["Exact-Value KEPT"]
+    assert terms_for("", "raw") == []
+
+
+def test_unknown_tokenizer_raises():
+    import pytest
+
+    from toshi_spark.analyzer import get_analyzer
+
+    with pytest.raises(ValueError, match="Unknown tokenizer"):
+        get_analyzer("nope")
+
+
+def test_cjk_golden_file():
+    """Committed golden: full (term, position) streams for the cang_jie
+    registry slot — guards the bigram chain against drift."""
+    import json
+    import os
+
+    from toshi_spark.analyzer import ANALYZERS
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "cjk_analyzer_golden.json")
+    with open(path) as f:
+        golden = json.load(f)
+    an = ANALYZERS[golden["tokenizer"]]
+    for row in golden["rows"]:
+        agg, n = an(row["text"])
+        flat = sorted((p, t) for t, ps in agg.items() for p in ps)
+        assert n == row["doc_len"]
+        assert [[t, p] for p, t in flat] == row["stream"]
+
+
+def test_cjk_index_and_query_end_to_end(spark):
+    """A schema with tokenizer='cang_jie' indexes CJK text and matches
+    through the full query path (raw phrase + term)."""
+    from toshi_spark.engine import FullTextIndex
+    from toshi_spark.schema import FieldSpec, IndexSchema
+
+    schema = IndexSchema([
+        FieldSpec("body", "text", stored=True, indexed=True,
+                  positions=True, tokenizer="cang_jie"),
+    ])
+    docs = spark.createDataFrame(
+        [(0, "今天天气很好"), (1, "昨天天气不好"), (2, "Spark处理大数据")],
+        "doc_id long, body string",
+    )
+    ix = FullTextIndex.build(spark, docs, schema, id_col="doc_id", name="cjk")
+    # raw value analyzed with the FIELD's tokenizer → bigram term
+    r = ix.search_json({"query": {"raw": "body:很好"}})
+    assert r.hits == 1 and r.docs[0].doc["body"] == "今天天气很好"
+    # quoted CJK phrase → consecutive bigram positions
+    r2 = ix.search_json({"query": {"raw": 'body:"天气很好"'}})
+    assert r2.hits == 1 and r2.docs[0].doc["body"] == "今天天气很好"
+    # shared bigram hits both weather docs
+    r3 = ix.search_json({"query": {"raw": "body:天气"}})
+    assert r3.hits == 2
+    # mixed-script doc: latin token lowercased alongside bigrams
+    r4 = ix.search_json({"query": {"raw": "body:Spark"}})
+    assert r4.hits == 1 and r4.docs[0].doc["body"] == "Spark处理大数据"
+
+
 def test_webtext_deterministic_across_parallelism(spark):
     """Per-url byte-identity: same corpus bytes at different partitioning."""
     a = synth_webtext(spark, 200, seed=42, partitions=2).orderBy("url").collect()

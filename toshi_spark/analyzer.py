@@ -86,11 +86,98 @@ def analyze_doc(text: str) -> tuple[dict[str, list[int]], int]:
     return agg, kept
 
 
+# ------------------------------------------------------- tokenizer registry
+#
+# Toshi registers extra tokenizers by the schema's tokenizer NAME — the
+# feature-gated CJK tokenizer goes in under ``cang_jie::CANG_JIE``
+# (``toshi-server/src/lib.rs:57-72``, ``Cargo.toml:18,49``).  The
+# registry mirrors that: the schema's ``tokenizer`` option selects the
+# analyze function.  ``cang_jie`` here is a CJK BIGRAM tokenizer (the
+# Lucene-CJKAnalyzer approach) — jieba's dictionary segmentation (what
+# the cang-jie crate wraps) is not reproducible without its dictionary,
+# and bigrams are the standard dictionary-free CJK indexing scheme.
+
+# Han (incl. ext A + compatibility), Hiragana, Katakana, Hangul
+_CJK_RANGES = (
+    "぀-ヿ"  # Hiragana + Katakana
+    "㐀-䶿"  # CJK ext A
+    "一-鿿"  # CJK unified
+    "가-힯"  # Hangul syllables
+    "豈-﫿"  # CJK compatibility
+)
+_CJK_SPLIT_RE = re.compile(rf"([{_CJK_RANGES}]+)", re.UNICODE)
+_CJK_CHAR_RE = re.compile(rf"[{_CJK_RANGES}]\Z", re.UNICODE)
+
+
+def raw_tokens_cjk(text: str) -> Iterator[str]:
+    """CJK runs → overlapping character bigrams (single char if the run
+    is length 1); non-CJK segments tokenize like the default chain."""
+    for part in _CJK_SPLIT_RE.split(text):
+        if not part:
+            continue
+        if _CJK_CHAR_RE.match(part[0]):
+            if len(part) == 1:
+                yield part
+            else:
+                for i in range(len(part) - 1):
+                    yield part[i : i + 2]
+        else:
+            yield from raw_tokens(part)
+
+
+def _analyze_doc_with(tokens_fn) -> "callable":
+    def analyze(text: str) -> tuple[dict[str, list[int]], int]:
+        agg: dict[str, list[int]] = {}
+        kept = 0
+        limit = TOKEN_BYTE_LIMIT
+        for pos, tok in enumerate(tokens_fn(text)):
+            if len(tok.encode("utf-8")) < limit:
+                agg.setdefault(tok.lower(), []).append(pos)
+                kept += 1
+        return agg, kept
+
+    return analyze
+
+
+def _analyze_doc_raw(text: str) -> tuple[dict[str, list[int]], int]:
+    """Tantivy's ``raw`` tokenizer: the whole value is ONE verbatim
+    token (no lowercasing, no splitting), position 0."""
+    if text == "":
+        return {}, 0
+    return {text: [0]}, 1
+
+
+ANALYZERS: dict[str, "callable"] = {
+    "default": analyze_doc,
+    "raw": _analyze_doc_raw,
+    "cang_jie": _analyze_doc_with(raw_tokens_cjk),
+    "cjk": _analyze_doc_with(raw_tokens_cjk),  # convenience alias
+}
+
+
+def get_analyzer(name: str):
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"Unknown tokenizer: {name!r} (registered: "
+            f"{sorted(ANALYZERS)})"
+        ) from None
+
+
+def terms_for(text: str, tokenizer: str = "default") -> list[str]:
+    """Analyzed terms in raw-stream order (query-side analysis)."""
+    agg, _ = get_analyzer(tokenizer)(text)
+    flat = [(p, t) for t, ps in agg.items() for p in ps]
+    return [t for _, t in sorted(flat)]
+
+
 def analyze_arrow_batches(
     batches,
     id_col: str = "doc_id",
     text_col: str = "text",
     field: str = "text",
+    tokenizer: str = "default",
 ):
     """mapInArrow kernel: (id, text) RecordBatches → per-(doc, term) rows.
 
@@ -113,6 +200,7 @@ def analyze_arrow_batches(
     """
     import pyarrow as pa
 
+    analyze = get_analyzer(tokenizer)
     out_schema = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -133,7 +221,7 @@ def analyze_arrow_batches(
         offsets: list[int] = [0]
         flat_pos: list[int] = []
         for doc_id, text in zip(ids_in, texts):
-            agg, n = analyze_doc(text if isinstance(text, str) else "")
+            agg, n = analyze(text if isinstance(text, str) else "")
             if not agg:
                 ids.append(doc_id)
                 terms.append("")

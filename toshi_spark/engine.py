@@ -111,8 +111,10 @@ class FullTextIndex:
         cache: bool = True,
     ) -> "FullTextIndex":
         text_fields = [f.name for f in schema.text_fields()]
-        tables = build_index(corpus, id_col=id_col, text_fields=text_fields,
-                             cache=cache)
+        tables = build_index(
+            corpus, id_col=id_col, text_fields=text_fields, cache=cache,
+            tokenizers={f.name: f.tokenizer for f in schema.text_fields()},
+        )
         if cache:
             corpus = corpus.persist()
         return cls(spark, schema, corpus, tables, id_col=id_col, name=name)

@@ -57,6 +57,7 @@ def analyze_corpus(
     id_col: str,
     text_col: str,
     field: str | None = None,
+    tokenizer: str = "default",
 ) -> DataFrame:
     """corpus → per-(doc, term) rows with tf, positions, doc_len."""
     field = field or text_col
@@ -67,7 +68,8 @@ def analyze_corpus(
     # pandas objects on the Python→JVM hop
     return proj.mapInArrow(
         lambda it: analyze_arrow_batches(
-            it, id_col="doc_id", text_col="text", field=field
+            it, id_col="doc_id", text_col="text", field=field,
+            tokenizer=tokenizer,
         ),
         ANALYZE_SCHEMA,
     )
@@ -78,17 +80,26 @@ def build_index(
     id_col: str = "doc_id",
     text_fields: list[str] | str = "text",
     cache: bool = True,
+    tokenizers: dict[str, str] | None = None,
 ) -> IndexTables:
     """Build index tables over one or more text fields of a corpus.
+
+    ``tokenizers`` maps field name → registered tokenizer name (the
+    schema's ``tokenizer`` option, analyzer registry in analyzer.py);
+    unlisted fields use the ``default`` chain.
 
     The analyzed intermediate feeds four consumers, so it is persisted
     (at segment-write time, parquet on disk plays this role instead).
     """
     if isinstance(text_fields, str):
         text_fields = [text_fields]
+    tokenizers = tokenizers or {}
     analyzed = None
     for tf in text_fields:
-        part = analyze_corpus(corpus, id_col, tf, field=tf)
+        part = analyze_corpus(
+            corpus, id_col, tf, field=tf,
+            tokenizer=tokenizers.get(tf, "default"),
+        )
         analyzed = part if analyzed is None else analyzed.unionByName(part)
     assert analyzed is not None, "at least one text field required"
     if cache:

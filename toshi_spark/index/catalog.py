@@ -127,6 +127,7 @@ class IndexCatalog:
             self.spark, corpus, self._dir(name), id_col=id_col,
             text_fields=text_fields, n_chunks=n_chunks,
             index_name=name, fingerprint=fingerprint,
+            tokenizers={f.name: f.tokenizer for f in schema.text_fields()},
         )
         meta = self._meta(name)
         meta["opstamp"] = 0  # commit resets the opstamp (handle.rs:62-70)
@@ -180,8 +181,11 @@ class IndexCatalog:
             meta["next_doc_id"] = next_id
             sdf = self.spark.createDataFrame(docs)
             text_fields = [f.name for f in schema.text_fields()]
-            tables = build_index(sdf, id_col="doc_id",
-                                 text_fields=text_fields)
+            tables = build_index(
+                sdf, id_col="doc_id", text_fields=text_fields,
+                tokenizers={f.name: f.tokenizer
+                            for f in schema.text_fields()},
+            )
             # monotonic persisted counter — NOT manifest length, which
             # shrinks after merge compaction and could repeat with the
             # same opstamp, colliding with (and rmtree-ing) a live

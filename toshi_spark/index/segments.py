@@ -249,6 +249,7 @@ def build_segments(
     index_name: str = "index",
     fingerprint: str = "v1",
     salt_df_threshold: int = 100_000,
+    tokenizers: dict[str, str] | None = None,
 ) -> list[ManifestEntry]:
     """Chunked, resumable index build.
 
@@ -277,7 +278,8 @@ def build_segments(
             )
             == F.lit(chunk)
         )
-        tables = build_index(part, id_col=id_col, text_fields=text_fields)
+        tables = build_index(part, id_col=id_col, text_fields=text_fields,
+                             tokenizers=tokenizers)
         entry = write_segment(
             spark, tables, index_dir, seg_id, opstamp=chunk + 1,
             salt_df_threshold=salt_df_threshold,

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import re
 
-from ..analyzer import terms_only
+from ..analyzer import terms_for
 from ..schema import IndexSchema, QueryError
 from .dsl import BoolQuery, BoostQuery, ExactTerm, PhraseQuery, Query, RangeQuery
 
@@ -188,7 +188,7 @@ class _Parser:
                 raise QueryError(f"Unknown field: {f}")
             if not spec.indexed:
                 raise QueryError(f"The field '{f}' is not declared as indexed")
-        return _value_query(fields, value, quoted)
+        return _value_query(self.schema, fields, value, quoted)
 
     def _range_query(self, field_name: str, mr: re.Match) -> Query:
         spec = self.schema.get(field_name)
@@ -231,13 +231,16 @@ def parse_raw(raw: str, schema: IndexSchema) -> Query:
     return q
 
 
-def _value_query(fields: list[str], value: str, quoted: bool) -> Query | None:
-    """Analyze the value per field; build term/phrase/multi-field bool."""
-    tokens = terms_only(value)
-    if not tokens:
-        return None
+def _value_query(schema: IndexSchema, fields: list[str], value: str,
+                 quoted: bool) -> Query | None:
+    """Analyze the value per field (with the FIELD's registered
+    tokenizer); build term/phrase/multi-field bool."""
     per_field: list[Query] = []
     for f in fields:
+        spec = schema.get(f)
+        tokens = terms_for(value, spec.tokenizer if spec else "default")
+        if not tokens:
+            continue
         if quoted and len(tokens) > 1:
             per_field.append(PhraseQuery(f, tokens))
         elif len(tokens) == 1:
@@ -247,6 +250,8 @@ def _value_query(fields: list[str], value: str, quoted: bool) -> Query | None:
             per_field.append(
                 BoolQuery(should=[ExactTerm(f, t) for t in tokens], allow_nested=True)
             )
+    if not per_field:
+        return None
     if len(per_field) == 1:
         return per_field[0]
     return BoolQuery(should=per_field, allow_nested=True)

@@ -28,6 +28,10 @@ class FieldSpec:
     indexed: bool = True
     fast: bool = False
     positions: bool = True  # record: position
+    # analyzer registry key (schema "tokenizer" option): Toshi keys
+    # extra tokenizers by name, e.g. the feature-gated CJK tokenizer
+    # under cang_jie::CANG_JIE (toshi-server/src/lib.rs:57-72)
+    tokenizer: str = "default"
 
 
 @dataclass
@@ -73,6 +77,10 @@ class IndexSchema:
                     fast=bool(opts.get("fast", False)),
                     positions=(
                         indexing.get("record") == "position" if indexing else True
+                    ),
+                    tokenizer=(
+                        indexing.get("tokenizer", "default")
+                        if indexing else "default"
                     ),
                 )
             )
