@@ -18,8 +18,21 @@ K1 = 1.2
 B = 0.75
 
 
+def quantize_fieldnorm(n: int) -> int:
+    """Independent re-implementation of the SmallFloat-byte4 fieldnorm
+    quantization (double-entry bookkeeping vs toshi_spark.index.fieldnorm):
+    exact below 24, floor to 4 significant bits of (n - 24) above."""
+    if n < 24:
+        return n
+    y = n - 24
+    if y < 8:
+        return n
+    shift = y.bit_length() - 4
+    return 24 + ((y >> shift) << shift)
+
+
 class OracleIndex:
-    def __init__(self, docs: dict[int, str]):
+    def __init__(self, docs: dict[int, str], quantize: bool = False):
         self.doclens: dict[int, int] = {}
         self.postings: dict[str, dict[int, list[int]]] = {}
         for doc_id, text in docs.items():
@@ -28,9 +41,15 @@ class OracleIndex:
             for term, pos in toks:
                 self.postings.setdefault(term, {}).setdefault(doc_id, []).append(pos)
         self.n = len(docs)
+        # avgdl from EXACT lengths even in quantized mode (Tantivy
+        # derives it from segment token totals, not stored norms)
         self.avgdl = (
             sum(self.doclens.values()) / self.n if self.n else 0.0
         )
+        if quantize:
+            self.doclens = {
+                d: quantize_fieldnorm(v) for d, v in self.doclens.items()
+            }
 
     def idf(self, term: str) -> float:
         df = len(self.postings.get(term, {}))

@@ -109,11 +109,13 @@ class FullTextIndex:
         id_col: str = "doc_id",
         name: str = "index",
         cache: bool = True,
+        quantize_fieldnorms: bool = False,
     ) -> "FullTextIndex":
         text_fields = [f.name for f in schema.text_fields()]
         tables = build_index(
             corpus, id_col=id_col, text_fields=text_fields, cache=cache,
             tokenizers={f.name: f.tokenizer for f in schema.text_fields()},
+            quantize_fieldnorms=quantize_fieldnorms,
         )
         if cache:
             corpus = corpus.persist()

@@ -81,12 +81,19 @@ def build_index(
     text_fields: list[str] | str = "text",
     cache: bool = True,
     tokenizers: dict[str, str] | None = None,
+    quantize_fieldnorms: bool = False,
 ) -> IndexTables:
     """Build index tables over one or more text fields of a corpus.
 
     ``tokenizers`` maps field name → registered tokenizer name (the
     schema's ``tokenizer`` option, analyzer registry in analyzer.py);
     unlisted fields use the ``default`` chain.
+
+    ``quantize_fieldnorms=True`` stores doc lengths byte-quantized
+    (Tantivy stores fieldnorms as 1 byte — see index/fieldnorm.py), so
+    BM25's length normalization sees the quantized length; avgdl stays
+    EXACT (Tantivy computes it from segment token totals, not from the
+    quantized norms).  Default OFF: exact lengths.
 
     The analyzed intermediate feeds four consumers, so it is persisted
     (at segment-write time, parquet on disk plays this role instead).
@@ -111,7 +118,21 @@ def build_index(
         F.max("doc_len").alias("doc_len")
     )
     termstats = postings.groupBy("field", "term").agg(F.count("*").alias("df"))
+    # avgdl from EXACT lengths, before any quantization (see docstring)
     fieldstats = doclens.groupBy("field").agg(F.avg("doc_len").alias("avgdl"))
+    if quantize_fieldnorms:
+        import pandas as pd
+
+        from .fieldnorm import quantize_array
+
+        # no parameter annotations: PEP-563 stringified hints confuse
+        # pandas_udf type inference under `from __future__ import annotations`
+        _quant = F.pandas_udf(
+            lambda lens: pd.Series(quantize_array(lens.to_numpy()),
+                                   dtype="int32"),
+            "int",
+        )
+        doclens = doclens.withColumn("doc_len", _quant(F.col("doc_len")))
     # count docs off the (persisted) analyzed table — the analyzer emits
     # a row even for empty docs, so this avoids re-scanning the corpus
     n_docs = analyzed.select("doc_id").distinct().count()
