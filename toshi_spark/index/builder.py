@@ -111,13 +111,25 @@ def build_index(
     assert analyzed is not None, "at least one text field required"
     if cache:
         analyzed = analyzed.persist()
+    # doc_len rides ALONG in the postings row (the analyzer emits it
+    # per (doc, term) anyway): BM25 then needs NO doclens join — the
+    # fieldnorm travels with the posting the way Lucene impact-ordered
+    # postings inline norms.  Cost: one int32 per posting row (~5% of a
+    # row dominated by the positions list); payoff: one fewer shuffle
+    # join in EVERY scoring query, which at 100 TB is the difference
+    # between 1 and 2 wide shuffles per search.
     postings = analyzed.filter(F.col("tf") > 0).select(
-        "field", "term", "doc_id", "tf", "positions"
+        "field", "term", "doc_id", "tf", "positions", "doc_len"
     )
     doclens = analyzed.groupBy("field", "doc_id").agg(
         F.max("doc_len").alias("doc_len")
     )
     termstats = postings.groupBy("field", "term").agg(F.count("*").alias("df"))
+    if cache:
+        # the dictionary is consulted (with a pushed term filter) by
+        # every scoring query — persist the aggregate so serving reads
+        # a cached table instead of re-shuffling postings per search
+        termstats = termstats.persist()
     # avgdl from EXACT lengths, before any quantization (see docstring)
     fieldstats = doclens.groupBy("field").agg(F.avg("doc_len").alias("avgdl"))
     if quantize_fieldnorms:
@@ -133,9 +145,18 @@ def build_index(
             "int",
         )
         doclens = doclens.withColumn("doc_len", _quant(F.col("doc_len")))
+        postings = postings.withColumn("doc_len", _quant(F.col("doc_len")))
     # count docs off the (persisted) analyzed table — the analyzer emits
     # a row even for empty docs, so this avoids re-scanning the corpus
     n_docs = analyzed.select("doc_id").distinct().count()
+    # fieldstats is segment METADATA (one row per field, like Tantivy's
+    # per-segment stats): materialize it once at build so every query's
+    # plan broadcasts a literal local relation instead of re-aggregating
+    # the full analyzed table per search
+    spark = corpus.sparkSession
+    frows = [(r["field"], float(r["avgdl"])) for r in fieldstats.collect()]
+    if frows:
+        fieldstats = spark.createDataFrame(frows, "field string, avgdl double")
     return IndexTables(
         postings=postings,
         doclens=doclens,

@@ -38,8 +38,8 @@ from .builder import IndexTables, build_index, salted_postings
 
 # bump when the on-disk segment layout changes: content-addressed
 # segment ids include it, so stale segments from an older format are
-# never mistaken for committed work
-SEGMENT_FORMAT_VERSION = 2
+# never mistaken for committed work (v3: postings carry inline doc_len)
+SEGMENT_FORMAT_VERSION = 3
 
 
 @dataclass
@@ -313,10 +313,28 @@ def open_segmented_tables(spark: SparkSession, index_dir: str) -> IndexTables:
         .agg(F.sum("df").alias("df"))
     )
     n_docs = 0
+    # stitched avgdl = doc-weighted mean of per-segment avgdl — pure
+    # metadata from stats.json (every doc contributes one doclens row
+    # per indexed field, so segment n_docs is the right weight); no
+    # Spark job, and queries broadcast a literal local relation
+    fsum: dict[str, float] = {}
+    fw: dict[str, int] = {}
     for d in seg_dirs:
         with open(f"{d}/stats.json") as f:
-            n_docs += json.load(f)["n_docs"]
-    fieldstats = doclens.groupBy("field").agg(F.avg("doc_len").alias("avgdl"))
+            st = json.load(f)
+        n_docs += st["n_docs"]
+        for fld, avgdl in st.get("fieldstats", {}).items():
+            fsum[fld] = fsum.get(fld, 0.0) + float(avgdl) * st["n_docs"]
+            fw[fld] = fw.get(fld, 0) + st["n_docs"]
+    if fsum:
+        fieldstats = spark.createDataFrame(
+            [(fld, fsum[fld] / fw[fld]) for fld in sorted(fsum)],
+            "field string, avgdl double",
+        )
+    else:
+        fieldstats = doclens.groupBy("field").agg(
+            F.avg("doc_len").alias("avgdl")
+        )
     return IndexTables(
         postings=postings,
         doclens=doclens,

@@ -71,7 +71,8 @@ def q_term_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("field") == "text") & (F.col("term") == "spark")
     )
     scored = bm25_score(
-        matched, ix.doclens, ix.termstats, ix.n_docs, ix.fieldstats, tf_mode="full"
+        matched, ix.doclens, ix.termstats, ix.n_docs, ix.fieldstats,
+        tf_mode="full", unique_doc_terms=True,
     )
     return topk(scored, 20).select("doc_id", _r4())
 
@@ -580,6 +581,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKS_CACHE: dict[tuple[str, int], DataFrame] = {}
+
+
+def _get_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoded block table per sf_dir — an INDEX artifact (segments
+    pre-encode blocks at write time, see segments.write_segment), so
+    serving queries must not pay re-encoding; cache like get_index."""
+    key = (sf_dir, id(spark.sparkContext))
+    if key not in _BLOCKS_CACHE:
+        ix = get_index(spark, sf_dir)
+        salted = salted_postings(ix.postings, ix.termstats,
+                                 df_threshold=200, n_salts=4)
+        _BLOCKS_CACHE[key] = encode_blocks_df(salted).persist()
+    return _BLOCKS_CACHE[key]
+
+
 def q_blockmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union-of-terms BM25 via the compressed block-max path.
 
@@ -587,9 +604,7 @@ def q_blockmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless end-to-end.
     """
     ix = get_index(spark, sf_dir)
-    salted = salted_postings(ix.postings, ix.termstats, df_threshold=200,
-                             n_salts=4)
-    blocks = encode_blocks_df(salted)
+    blocks = _get_blocks(spark, sf_dir)
     out = blockmax_topk(
         blocks, ix.termstats, ix.doclens, ix.fieldstats, ix.n_docs,
         "text", ["query", "window", "stream"], 20,
@@ -964,10 +979,10 @@ def q_segmented_term_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = open_segmented_tables(spark, idx_dir)
     matched = t.postings.filter(
         (F.col("field") == "text") & (F.col("term") == "spark")
-    ).select("field", "term", "doc_id", "tf")
+    ).select("field", "term", "doc_id", "tf", "doc_len")
     scored = bm25_score(
         matched, t.doclens, t.termstats, t.n_docs, t.fieldstats,
-        tf_mode="full",
+        tf_mode="full", unique_doc_terms=True,
     )
     return topk(scored, 20).select("doc_id", _r4())
 

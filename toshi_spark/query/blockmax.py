@@ -96,13 +96,16 @@ def blockmax_topk(
         # fewer than k docs in the seed → decode everything
         survivors = meta
     else:
-        # per-term global max ub (tiny agg, broadcast) for union bounds
+        # per-term global max ub (tiny agg) for union bounds; the
+        # cross-term sum is a broadcast 1-row aggregate — executor-side,
+        # no driver collect, so τ's is the only driver round-trip
         per_term_max = meta.groupBy("term").agg(F.max("ub").alias("max_ub"))
-        others = per_term_max.agg(F.sum("max_ub").alias("sum_ub")).collect()[0]
-        sum_ub = float(others["sum_ub"] or 0.0)
-        per_term_max = per_term_max.withColumn(
-            "ub_others", F.lit(sum_ub) - F.col("max_ub")
-        ).select("term", "ub_others")
+        total = per_term_max.agg(F.sum("max_ub").alias("sum_ub"))
+        per_term_max = (
+            per_term_max.crossJoin(F.broadcast(total))
+            .withColumn("ub_others", F.col("sum_ub") - F.col("max_ub"))
+            .select("term", "ub_others")
+        )
         survivors = (
             meta.join(F.broadcast(per_term_max), "term")
             .filter(F.col("ub") + F.col("ub_others") >= F.lit(tau))

@@ -73,9 +73,11 @@ class Compiler:
     def compile_term(self, q: ExactTerm) -> DataFrame:
         self.ctx.schema.require_indexed(q.field)
         # query value used verbatim (Term::from_field_text, mod.rs:221)
-        matched = self._postings_for_terms(q.field, [q.value]).select(
-            "field", "term", "doc_id", "tf"
-        )
+        p = self._postings_for_terms(q.field, [q.value])
+        cols = ["field", "term", "doc_id", "tf"]
+        if "doc_len" in p.columns:  # inline fieldnorm: no doclens join
+            cols.append("doc_len")
+        matched = p.select(*cols)
         return bm25_score(
             matched,
             self.ctx.doclens,
@@ -83,19 +85,21 @@ class Compiler:
             self.ctx.n_docs,
             self.ctx.fieldstats,
             tf_mode="basic",
+            unique_doc_terms=True,  # one posting row per doc: no agg
         )
 
     def compile_phrase(self, q: PhraseQuery) -> DataFrame:
         q.validate()
         self.ctx.schema.require_indexed(q.field)
         offsets = q.offsets if q.offsets is not None else list(range(len(q.terms)))
+        has_inline_len = "doc_len" in self.ctx.postings.columns
         legs = []
         for i, term in enumerate(q.terms):
-            legs.append(
-                self._postings_for_terms(q.field, [term]).select(
-                    F.col("doc_id"), F.col("positions").alias(f"pos_{i}")
-                )
-            )
+            cols = [F.col("doc_id"), F.col("positions").alias(f"pos_{i}")]
+            if i == 0 and has_inline_len:
+                # inline fieldnorm rides on the anchor leg: no doclens join
+                cols.append(F.col("doc_len"))
+            legs.append(self._postings_for_terms(q.field, [term]).select(*cols))
         joined = reduce(lambda a, b: a.join(b, "doc_id"), legs)
         # anchor on term 0: phrase matches at p iff term_i sits at
         # p - offsets[0] + offsets[i] for all i (Tantivy
@@ -110,10 +114,13 @@ class Compiler:
             return cond
 
         phrase_tf = F.size(F.filter(F.col("pos_0"), anchor_matches))
+        keep = [F.lit(q.field).alias("field"), "doc_id", "tf"]
+        if has_inline_len:
+            keep.append("doc_len")
         matched = (
             joined.withColumn("tf", phrase_tf)
             .filter(F.col("tf") > 0)
-            .select(F.lit(q.field).alias("field"), "doc_id", "tf")
+            .select(*keep)
         )
         # Phrase scoring: Tantivy's PhraseQuery uses a multi-term BM25
         # weight — idf summed over the phrase terms (with multiplicity),
@@ -138,9 +145,10 @@ class Compiler:
                 ).alias("idf_sum")
             )
         )
+        if not has_inline_len:
+            matched = matched.join(self.ctx.doclens, ["field", "doc_id"])
         scored = (
-            matched.join(self.ctx.doclens, ["field", "doc_id"])
-            .join(F.broadcast(self.ctx.fieldstats), "field")
+            matched.join(F.broadcast(self.ctx.fieldstats), "field")
             .crossJoin(F.broadcast(idf_total))
             .withColumn(
                 "score",
@@ -288,13 +296,19 @@ class Compiler:
             "term string, w double, is_must boolean, is_not boolean, "
             "is_should boolean",
         )
-        matched = self._postings_for_terms(field, all_terms).select(
-            "field", "term", "doc_id", "tf"
+        p = self._postings_for_terms(field, all_terms)
+        cols = ["field", "term", "doc_id", "tf"]
+        if "doc_len" in p.columns:
+            cols.append("doc_len")
+        matched = p.select(*cols)
+        joined = matched.join(
+            self.ctx.termstats.select("field", "term", "df"),
+            ["field", "term"],
         )
+        if "doc_len" not in cols:
+            joined = joined.join(self.ctx.doclens, ["field", "doc_id"])
         joined = (
-            matched.join(self.ctx.termstats.select("field", "term", "df"),
-                         ["field", "term"])
-            .join(self.ctx.doclens, ["field", "doc_id"])
+            joined
             .join(F.broadcast(self.ctx.fieldstats), "field")
             .join(F.broadcast(term_meta), "term")
             .withColumn(

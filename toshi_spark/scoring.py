@@ -55,13 +55,16 @@ def bm25_score(
     fieldstats: DataFrame | float,
     tf_mode: str = "full",
     as_f32: bool = False,
+    unique_doc_terms: bool = False,
 ) -> DataFrame:
     """Score per-(doc, term) matches → per-doc summed BM25.
 
-    ``matched``: rows (field, term, doc_id, tf).  Join shape: termstats
-    restricted to the (few) query terms → broadcast; doclens joins on
-    (field, doc_id); fieldstats (field → avgdl, one row per field) →
-    broadcast.  Output: (doc_id, score).
+    ``matched``: rows (field, term, doc_id, tf[, doc_len]).  Join shape:
+    termstats restricted to the (few) query terms → broadcast; doc_len
+    comes INLINE from the postings row when present (build_index
+    denormalizes it — zero doclens join), falling back to a join on
+    (field, doc_id) for callers without it; fieldstats (field → avgdl,
+    one row per field) → broadcast.  Output: (doc_id, score).
     """
     # No broadcast hint on termstats: the equi-join on (field, term)
     # lets Catalyst propagate the matched side's term predicate into the
@@ -70,9 +73,9 @@ def bm25_score(
     # hint here would ship the ENTIRE term dictionary.
     per_term_df = termstats.select("field", "term", "df")
     tf = F.lit(1.0) if tf_mode == "basic" else F.col("tf").cast("double")
-    joined = matched.join(per_term_df, ["field", "term"]).join(
-        doclens, ["field", "doc_id"]
-    )
+    joined = matched.join(per_term_df, ["field", "term"])
+    if "doc_len" not in matched.columns:
+        joined = joined.join(doclens, ["field", "doc_id"])
     if isinstance(fieldstats, (int, float)):
         avgdl_col = F.lit(float(fieldstats))
     else:
@@ -83,7 +86,15 @@ def bm25_score(
         idf_col(n_docs, F.col("df").cast("double"))
         * tf_norm_dyn(tf, F.col("doc_len").cast("double"), avgdl_col),
     )
-    agg = scored.groupBy("doc_id").agg(F.sum("part_score").alias("score"))
+    if unique_doc_terms:
+        # single-term queries: postings are unique per (field, term,
+        # doc_id), so each doc has exactly one row — the groupBy-sum
+        # would be an identity aggregation costing one full shuffle.
+        # Skipping it makes the whole plan shuffle-free: pushed scan →
+        # broadcast joins → TakeOrderedAndProject.
+        agg = scored.select("doc_id", F.col("part_score").alias("score"))
+    else:
+        agg = scored.groupBy("doc_id").agg(F.sum("part_score").alias("score"))
     if as_f32:
         agg = agg.withColumn("score", F.col("score").cast("float").cast("double"))
     return agg
