@@ -279,6 +279,57 @@ def test_build_segments_routes_negative_and_null_ids(spark, tmp_path_factory):
     assert tables.doclens.select("doc_id").distinct().count() == 5
 
 
+def test_multivalued_stored_field_roundtrip(spark, tmp_path_factory):
+    """Repeated fields: create → add (array value) → flush → search.
+
+    Render follows FlatNamedDocument (toshi-types/src/query/mod.rs:
+    322-338): scalar when single-valued, array otherwise.  All values
+    index; phrases do not match across value boundaries."""
+    base = str(tmp_path_factory.mktemp("cat_multi"))
+    cat = IndexCatalog(spark, base)
+    cat.create_index("mv", [
+        {"name": "tags", "ftype": "text", "stored": True, "indexed": True,
+         "fast": False, "positions": True},
+    ])
+    cat.add_document("mv", {"tags": ["alpha beta", "gamma"]})
+    cat.add_document("mv", {"tags": "solo"}, commit=True)
+    ix = cat.open("mv")
+    r = ix.search_json({"query": {"term": {"tags": "gamma"}}})
+    assert r.hits == 1 and r.docs[0].doc["tags"] == ["alpha beta", "gamma"]
+    # singleton collapses to scalar even though the column is an array
+    r2 = ix.search_json({"query": {"term": {"tags": "solo"}}})
+    assert r2.hits == 1 and r2.docs[0].doc["tags"] == "solo"
+    # every value of the repeated field is indexed
+    for t in ("alpha", "beta", "gamma"):
+        assert ix.search_json({"query": {"term": {"tags": t}}}).hits == 1
+    # phrase within one value matches; across the value gap it must not
+    ph = ix.search_json({"query": {"phrase": {"tags": {
+        "terms": ["alpha", "beta"]}}}})
+    assert ph.hits == 1
+    gap = ix.search_json({"query": {"phrase": {"tags": {
+        "terms": ["beta", "gamma"]}}}})
+    assert gap.hits == 0
+
+
+def test_multivalued_promotes_existing_scalar_rowstore(spark,
+                                                       tmp_path_factory):
+    """A field that goes multi-valued AFTER scalar docs were flushed
+    promotes the row store schema instead of corrupting it."""
+    base = str(tmp_path_factory.mktemp("cat_promote"))
+    cat = IndexCatalog(spark, base)
+    cat.create_index("pv", [
+        {"name": "tags", "ftype": "text", "stored": True, "indexed": True,
+         "fast": False, "positions": True},
+    ])
+    cat.add_document("pv", {"tags": "first"}, commit=True)  # scalar flush
+    cat.add_document("pv", {"tags": ["second", "third"]}, commit=True)
+    ix = cat.open("pv")
+    r = ix.search_json({"query": {"term": {"tags": "first"}}})
+    assert r.hits == 1 and r.docs[0].doc["tags"] == "first"
+    r2 = ix.search_json({"query": {"term": {"tags": "third"}}})
+    assert r2.hits == 1 and r2.docs[0].doc["tags"] == ["second", "third"]
+
+
 def test_regex_prefix_extraction():
     from toshi_spark.query.compiler import _regex_literal_prefix as p
 

@@ -172,6 +172,36 @@ def terms_for(text: str, tokenizer: str = "default") -> list[str]:
     return [t for _, t in sorted(flat)]
 
 
+def analyze_multi(analyze, value) -> tuple[dict[str, list[int]], int]:
+    """Analyze a (possibly multi-valued) field value.
+
+    Tantivy documents may carry several values per field
+    (``FlatNamedDocument``, toshi-types/src/query/mod.rs:322-338);
+    each value is analyzed separately and positions continue with a
+    +1 gap between values so phrases never match across value
+    boundaries.  doc_len is the total kept-token count.
+    """
+    if isinstance(value, str) or value is None:
+        return analyze(value if isinstance(value, str) else "")
+    agg: dict[str, list[int]] = {}
+    kept_total = 0
+    base = 0
+    for v in value:
+        sub, kept = analyze(v if isinstance(v, str) else "")
+        max_pos = -1
+        for term, ps in sub.items():
+            out = agg.setdefault(term, [])
+            for p in ps:
+                out.append(p + base)
+                if p > max_pos:
+                    max_pos = p
+        kept_total += kept
+        base += max_pos + 2  # +1 position gap between values
+    for ps in agg.values():
+        ps.sort()
+    return agg, kept_total
+
+
 def analyze_arrow_batches(
     batches,
     id_col: str = "doc_id",
@@ -221,7 +251,7 @@ def analyze_arrow_batches(
         offsets: list[int] = [0]
         flat_pos: list[int] = []
         for doc_id, text in zip(ids_in, texts):
-            agg, n = analyze(text if isinstance(text, str) else "")
+            agg, n = analyze_multi(analyze, text)
             if not agg:
                 ids.append(doc_id)
                 terms.append("")

@@ -38,17 +38,23 @@ def validate_document(schema: IndexSchema, doc: dict[str, Any]) -> None:
         spec = schema.get(name)
         if spec is None:
             raise QueryError(f"Unknown field: {name}")
-        if spec.ftype in ("i64", "u64"):
-            if isinstance(value, bool) or not isinstance(value, int):
-                raise QueryError(
-                    f"invalid type: `{value!r}`, expected {spec.ftype}"
-                )
-            if spec.ftype == "u64" and value < 0:
-                raise QueryError(
-                    f"invalid value: integer `{value}`, expected u64"
-                )
-        elif spec.ftype in ("text", "facet") and not isinstance(value, str):
-            raise QueryError(f"invalid type: `{value!r}`, expected string")
+        # Tantivy fields are multi-valued: a JSON array means several
+        # values for the field (rendered flatten-if-singleton on read)
+        values = value if isinstance(value, list) else [value]
+        if isinstance(value, list) and not values:
+            raise QueryError(f"invalid value: empty array for field {name}")
+        for v in values:
+            if spec.ftype in ("i64", "u64"):
+                if isinstance(v, bool) or not isinstance(v, int):
+                    raise QueryError(
+                        f"invalid type: `{v!r}`, expected {spec.ftype}"
+                    )
+                if spec.ftype == "u64" and v < 0:
+                    raise QueryError(
+                        f"invalid value: integer `{v}`, expected u64"
+                    )
+            elif spec.ftype in ("text", "facet") and not isinstance(v, str):
+                raise QueryError(f"invalid type: `{v!r}`, expected string")
 
 
 class ToshiApi:

@@ -218,10 +218,19 @@ class FullTextIndex:
         df = self.search_df(search)
         rows = df.collect()
         stored_names = [f.name for f in self.schema.fields if f.stored]
+
+        def render(v):
+            # FlatNamedDocument (toshi-types/src/query/mod.rs:322-338):
+            # multi-valued stored fields collapse to a scalar when
+            # single-valued, else render as an array
+            if isinstance(v, list):
+                return v[0] if len(v) == 1 else v
+            return v
+
         docs = [
             ScoredDoc(
                 score=float(r["score"]),
-                doc={n: r[n] for n in stored_names},
+                doc={n: render(r[n]) for n in stored_names},
             )
             for r in rows
         ]

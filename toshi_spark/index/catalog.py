@@ -179,6 +179,23 @@ class IndexCatalog:
                     doc["doc_id"] = next_id
                     next_id += 1
             meta["next_doc_id"] = next_id
+            # multi-valued fields: once ANY doc supplies an array for a
+            # field, that field's row-store column becomes array-typed
+            # for every doc (sticky, recorded in index.json) — parquet
+            # cannot mix string and array<string> across appends.
+            # Render collapses singletons back (FlatNamedDocument).
+            array_fields = set(meta.get("array_fields", []))
+            for doc in docs:
+                for k, v in doc.items():
+                    if isinstance(v, list):
+                        array_fields.add(k)
+            if array_fields:
+                self._promote_rowstore_arrays(name, array_fields, meta)
+                for doc in docs:
+                    for k in array_fields:
+                        if k in doc and not isinstance(doc[k], list):
+                            doc[k] = [doc[k]]
+                meta["array_fields"] = sorted(array_fields)
             sdf = self.spark.createDataFrame(docs)
             text_fields = [f.name for f in schema.text_fields()]
             tables = build_index(
@@ -204,6 +221,35 @@ class IndexCatalog:
         meta["opstamp"] = 0
         self._save_meta(name, meta)
         return opstamp
+
+    def _promote_rowstore_arrays(self, name: str, array_fields: set[str],
+                                 meta: dict) -> None:
+        """Rewrite scalar row-store columns to array<...> for fields
+        that have gone multi-valued (one-time schema promotion; the
+        rowstore holds only flushed docs, so the rewrite is small)."""
+        rowstore = os.path.join(self._dir(name), "rowstore")
+        if not os.path.exists(rowstore):
+            return
+        already = set(meta.get("array_fields", []))
+        todo = array_fields - already
+        if not todo:
+            return
+        df = self.spark.read.parquet(rowstore)
+        changed = False
+        for f in todo:
+            if f in df.columns and not str(
+                df.schema[f].dataType
+            ).startswith("ArrayType"):
+                df = df.withColumn(
+                    f, F.when(F.col(f).isNotNull(), F.array(F.col(f)))
+                )
+                changed = True
+        if not changed:
+            return
+        tmp = rowstore + ".promote"
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(rowstore)
+        os.replace(tmp, rowstore)
 
     def rollback(self, name: str) -> None:
         """Discard uncommitted adds AND deletes (bulk.rs:121-129)."""
