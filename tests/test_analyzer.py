@@ -62,6 +62,61 @@ def test_raw_tokenizer_verbatim():
     assert terms_for("", "raw") == []
 
 
+def test_porter_stemmer_paper_vectors():
+    """Worked examples straight from Porter (1980) — every step."""
+    from toshi_spark.porter import stem
+
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "caress": "caress",
+        "cats": "cat", "feed": "feed", "agreed": "agre",
+        "plastered": "plaster", "motoring": "motor", "sing": "sing",
+        "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "hissing": "hiss", "failing": "fail", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "vietnamization": "vietnam", "operator": "oper",
+        "decisiveness": "decis", "hopefulness": "hope",
+        "triplicate": "triplic", "formative": "form",
+        "electriciti": "electr", "electrical": "electr",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "adjustable": "adjust", "replacement": "replac",
+        "adoption": "adopt", "communism": "commun", "activate": "activ",
+        "effective": "effect", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    for w, want in vectors.items():
+        assert stem(w) == want, (w, stem(w), want)
+
+
+def test_en_stem_tokenizer():
+    from toshi_spark.analyzer import terms_for
+
+    assert terms_for("Relational Databases are effective", "en_stem") == [
+        "relat", "databas", "ar", "effect"]
+    # stemming unifies morphological variants to one index term
+    assert (terms_for("running", "en_stem")
+            == terms_for("runs", "en_stem") == ["run"])
+
+
+def test_en_stem_index_and_query_end_to_end(spark):
+    from toshi_spark.engine import FullTextIndex
+    from toshi_spark.schema import FieldSpec, IndexSchema
+
+    schema = IndexSchema([
+        FieldSpec("body", "text", stored=True, indexed=True,
+                  positions=True, tokenizer="en_stem"),
+    ])
+    docs = spark.createDataFrame(
+        [(0, "the runner was running fast"), (1, "a walk in the park")],
+        "doc_id long, body string",
+    )
+    ix = FullTextIndex.build(spark, docs, schema, id_col="doc_id", name="st")
+    # raw value analyzed with the field's tokenizer: 'runs' stems to
+    # 'run' and matches the indexed stem of 'running'
+    r = ix.search_json({"query": {"raw": "body:runs"}})
+    assert r.hits == 1 and r.docs[0].doc["body"].startswith("the runner")
+
+
 def test_unknown_tokenizer_raises():
     import pytest
 

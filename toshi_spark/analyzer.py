@@ -147,9 +147,25 @@ def _analyze_doc_raw(text: str) -> tuple[dict[str, list[int]], int]:
     return {text: [0]}, 1
 
 
+def _analyze_doc_en_stem(text: str) -> tuple[dict[str, list[int]], int]:
+    """Tantivy's ``en_stem`` chain: simple tokenizer → remove-long →
+    lowercase → English stemmer (here the original Porter algorithm —
+    see porter.py for the Snowball-variant caveat)."""
+    from .porter import stem
+
+    agg: dict[str, list[int]] = {}
+    kept = 0
+    for pos, tok in enumerate(raw_tokens(text)):
+        if len(tok.encode("utf-8")) < TOKEN_BYTE_LIMIT:
+            agg.setdefault(stem(tok.lower()), []).append(pos)
+            kept += 1
+    return agg, kept
+
+
 ANALYZERS: dict[str, "callable"] = {
     "default": analyze_doc,
     "raw": _analyze_doc_raw,
+    "en_stem": _analyze_doc_en_stem,
     "cang_jie": _analyze_doc_with(raw_tokens_cjk),
     "cjk": _analyze_doc_with(raw_tokens_cjk),  # convenience alias
 }

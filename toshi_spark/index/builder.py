@@ -130,8 +130,22 @@ def build_index(
         # every scoring query — persist the aggregate so serving reads
         # a cached table instead of re-shuffling postings per search
         termstats = termstats.persist()
+    # ONE metadata job computes avgdl AND n_docs (doclens has exactly
+    # one row per (field, doc) including empty-doc sentinels, so the
+    # per-field row count IS the doc count): fieldstats becomes a
+    # literal local relation — every query broadcasts metadata instead
+    # of re-aggregating, and the build pays a single stats pass.
     # avgdl from EXACT lengths, before any quantization (see docstring)
-    fieldstats = doclens.groupBy("field").agg(F.avg("doc_len").alias("avgdl"))
+    spark = corpus.sparkSession
+    stats_rows = doclens.groupBy("field").agg(
+        F.avg("doc_len").alias("avgdl"), F.count("*").alias("n")
+    ).collect()
+    n_docs = max((r["n"] for r in stats_rows), default=0)
+    fieldstats = spark.createDataFrame(
+        [(r["field"], float(r["avgdl"])) for r in stats_rows]
+        or [(tf, 0.0) for tf in text_fields],  # empty corpus: avgdl 0
+        "field string, avgdl double",
+    )
     if quantize_fieldnorms:
         import pandas as pd
 
@@ -146,17 +160,6 @@ def build_index(
         )
         doclens = doclens.withColumn("doc_len", _quant(F.col("doc_len")))
         postings = postings.withColumn("doc_len", _quant(F.col("doc_len")))
-    # count docs off the (persisted) analyzed table — the analyzer emits
-    # a row even for empty docs, so this avoids re-scanning the corpus
-    n_docs = analyzed.select("doc_id").distinct().count()
-    # fieldstats is segment METADATA (one row per field, like Tantivy's
-    # per-segment stats): materialize it once at build so every query's
-    # plan broadcasts a literal local relation instead of re-aggregating
-    # the full analyzed table per search
-    spark = corpus.sparkSession
-    frows = [(r["field"], float(r["avgdl"])) for r in fieldstats.collect()]
-    if frows:
-        fieldstats = spark.createDataFrame(frows, "field string, avgdl double")
     return IndexTables(
         postings=postings,
         doclens=doclens,

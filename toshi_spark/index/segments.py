@@ -326,10 +326,13 @@ def open_segmented_tables(spark: SparkSession, index_dir: str) -> IndexTables:
         for fld, avgdl in st.get("fieldstats", {}).items():
             fsum[fld] = fsum.get(fld, 0.0) + float(avgdl) * st["n_docs"]
             fw[fld] = fw.get(fld, 0) + st["n_docs"]
-    if fsum:
+    rows = [
+        (fld, fsum[fld] / fw[fld] if fw[fld] else 0.0)
+        for fld in sorted(fsum)  # zero-weight: only empty segments
+    ]
+    if rows:
         fieldstats = spark.createDataFrame(
-            [(fld, fsum[fld] / fw[fld]) for fld in sorted(fsum)],
-            "field string, avgdl double",
+            rows, "field string, avgdl double"
         )
     else:
         fieldstats = doclens.groupBy("field").agg(
