@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "token_count",
     "ann_cosine",
+    "ann_ivf",
     "sessionize",
     "ft_blockmax_topk",
     "ft_segmented_term_bm25",

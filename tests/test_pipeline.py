@@ -232,3 +232,29 @@ def test_lsh_ann_multi_probe_recall(spark):
     # recall vs brute force must not decrease with multi-probe
     assert len(set(m) & set(brute)) >= len(set(s) & set(brute))
     assert m[0] == 0
+
+
+def test_ivf_ann(spark):
+    """IVF: deterministic seeded k-means, nprobe cells, exact cosine
+    inside — top hit is the query itself; probing all cells recovers
+    brute force exactly."""
+    from toshi_spark.pipeline.similarity import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    got = ivf_topk(emb, query_vec_id=0, k=10, k_cells=16, nprobe=4).collect()
+    assert len(got) == 10
+    assert got[0].vec_id == 0 and got[0].cos_sim == 1.0
+    # determinism: same construction twice → identical output
+    again = ivf_topk(emb, query_vec_id=0, k=10, k_cells=16, nprobe=4).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [
+        (r.vec_id, r.cos_sim) for r in again]
+    # probing EVERY cell must equal brute force
+    full = ivf_topk(emb, query_vec_id=0, k=10, k_cells=16, nprobe=16).collect()
+    brute = cosine_topk(emb, query_vec_id=0, k=10).collect()
+    assert [(r.vec_id, r.cos_sim) for r in full] == [
+        (r.vec_id, r.cos_sim) for r in brute]
+    # every vector lands in exactly one cell
+    assign, cents = ivf_assign(emb, k_cells=16)
+    assert assign.count() == emb.count()
+    assert assign.select("vec_id").distinct().count() == emb.count()

@@ -179,6 +179,141 @@ def embedding_neardup_pairs(
     )
 
 
+def _collect_centroids(emb_with_cell: DataFrame, vec_col: str):
+    """cell means → {cell: numpy vector} (metadata-scale driver collect:
+    k_cells × dim values, like fieldstats — NOT a data collect)."""
+    import numpy as np
+
+    rows = (
+        emb_with_cell.select(
+            "cell", F.posexplode(_as_double(F.col(vec_col))).alias("dim_idx", "x")
+        )
+        .groupBy("cell", "dim_idx")
+        .agg(F.avg("x").alias("c"))
+        .collect()
+    )
+    cells: dict[int, dict[int, float]] = {}
+    for r in rows:
+        cells.setdefault(int(r["cell"]), {})[int(r["dim_idx"])] = float(r["c"])
+    out = {}
+    for cell, dims in cells.items():
+        v = np.zeros(max(dims) + 1)
+        for i, x in dims.items():
+            v[i] = x
+        out[cell] = v
+    return out
+
+
+def _assign_cells(emb: DataFrame, centroids: dict, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine (ties → smallest cell
+    id) via one mapInArrow matmul per batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    cell_ids = np.array(sorted(centroids), dtype=np.int64)
+    C = np.stack([centroids[int(c)] for c in cell_ids])  # (k, dim)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    dim = C.shape[1]
+
+    def kernel(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ids = b.column(0).to_numpy(zero_copy_only=False).astype("int64")
+            flat = b.column(1).flatten().to_numpy(zero_copy_only=False)
+            v = flat.astype(np.float64, copy=False).reshape(n, dim)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                                1e-300)
+            sims = vn @ Cn.T  # (n, k); argmax takes the FIRST max → the
+            # smallest cell id wins ties (cell_ids is sorted)
+            best = cell_ids[np.argmax(sims, axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(best, type=pa.int64())],
+                names=["vec_id", "cell"],
+            )
+
+    return emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col)
+    ).mapInArrow(kernel, "vec_id long, cell long")
+
+
+def ivf_assign(
+    emb: DataFrame,
+    k_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: deterministic seeded k-means.
+
+    Seeding is data-defined (cell = pmod(vec_id, k_cells) → cell means)
+    so the whole construction — seed centroids, one Lloyd assignment,
+    refined centroids, final assignment — is reproducible on any
+    engine, including the SQL oracle.  Returns (assignment DF
+    (vec_id, cell), refined centroids dict) — the centroids are
+    metadata (k_cells × dim), broadcast to the probe step.
+
+    Scale shape: assignment is a mapInArrow matmul per batch; centroid
+    (re)computation is a groupBy over rows × dim exploded values —
+    the classic IVF build, one pass per Lloyd iteration.
+    """
+    seeded = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col),
+        F.pmod(F.col(id_col).cast("long"), F.lit(k_cells)).alias("cell"),
+    )
+    c1 = _collect_centroids(seeded, vec_col)
+    a1 = _assign_cells(emb, c1, id_col, vec_col)
+    with_cell = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col)
+    ).join(a1, "vec_id")
+    c2 = _collect_centroids(with_cell, vec_col)
+    a2 = _assign_cells(emb, c2, id_col, vec_col)
+    return a2, c2
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    k_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via IVF: probe the nprobe cells whose centroids are nearest
+    the query (cosine, ties → smallest cell id), exact cosine inside.
+
+    At 100 TB only ~nprobe/k_cells of the corpus is scanned; the
+    centroid table is metadata.  Brute-force `cosine_topk` is the
+    recall baseline; this is the scale path alongside the LSH variant.
+    """
+    import numpy as np
+
+    assign, centroids = ivf_assign(emb, k_cells, id_col, vec_col)
+    qrow = emb.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
+    q = np.asarray(qrow[0], dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-300)
+    ranked = sorted(
+        centroids.items(),
+        key=lambda kv: (
+            -float(np.dot(qn, kv[1] / max(np.linalg.norm(kv[1]), 1e-300))),
+            kv[0],
+        ),
+    )
+    probe = [int(c) for c, _ in ranked[:nprobe]]
+    # the query vector itself always qualifies (cosine_topk reads the
+    # query embedding from the candidate set)
+    cand_ids = assign.filter(
+        F.col("cell").isin(probe) | (F.col("vec_id") == query_vec_id)
+    ).select("vec_id")
+    cand = emb.join(
+        cand_ids, emb[id_col] == cand_ids["vec_id"], "left_semi"
+    )
+    return cosine_topk(cand, query_vec_id, k, id_col, vec_col)
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_vec_id: int,

@@ -541,6 +541,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_documents(spark, sf_dir), bits=16)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic seeded k-means cells, probe 4 of 16."""
+    from .pipeline.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return ivf_topk(emb, query_vec_id=0, k=10, k_cells=16, nprobe=4)
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return rh_signatures(emb, n_planes=8)
@@ -720,6 +730,86 @@ sums AS (
 )
 SELECT doc_id, CAST({_simhash_pack} AS BIGINT) AS simhash FROM sums
 """,
+        # IVF oracle replicates the deterministic construction exactly:
+        # seed cells = vec_id % 16 -> seed centroid means -> one Lloyd
+        # assignment (argmax cosine, ties -> smallest cell) -> refined
+        # centroids -> final assignment -> probe top-4 cells for vec 0
+        # -> exact cosine among candidates -> top-10
+        "ann_ivf": """
+WITH ux AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+),
+vnorm AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM ux GROUP BY vec_id),
+c1 AS (
+  SELECT vec_id % 16 AS cell, dim, avg(x) AS c
+  FROM ux GROUP BY vec_id % 16, dim
+),
+c1n AS (SELECT cell, sqrt(sum(c*c)) AS nc FROM c1 GROUP BY cell),
+s1 AS (
+  SELECT u.vec_id, c.cell, sum(u.x * c.c) AS dot
+  FROM ux u JOIN c1 c USING (dim) GROUP BY u.vec_id, c.cell
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, s.cell,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY s.dot / (greatest(v.nv, 1e-300) *
+                               greatest(n.nc, 1e-300)) DESC, s.cell ASC
+           ) AS rn
+    FROM s1 s JOIN vnorm v USING (vec_id) JOIN c1n n USING (cell)
+  ) WHERE rn = 1
+),
+c2 AS (
+  SELECT a.cell, u.dim, avg(u.x) AS c
+  FROM ux u JOIN a1 a USING (vec_id) GROUP BY a.cell, u.dim
+),
+c2n AS (SELECT cell, sqrt(sum(c*c)) AS nc FROM c2 GROUP BY cell),
+s2 AS (
+  SELECT u.vec_id, c.cell, sum(u.x * c.c) AS dot
+  FROM ux u JOIN c2 c USING (dim) GROUP BY u.vec_id, c.cell
+),
+a2 AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, s.cell,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY s.dot / (greatest(v.nv, 1e-300) *
+                               greatest(n.nc, 1e-300)) DESC, s.cell ASC
+           ) AS rn
+    FROM s2 s JOIN vnorm v USING (vec_id) JOIN c2n n USING (cell)
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cell FROM (
+    SELECT s.cell,
+           row_number() OVER (
+             ORDER BY s.dot / (greatest(v.nv, 1e-300) *
+                               greatest(n.nc, 1e-300)) DESC, s.cell ASC
+           ) AS rn
+    FROM s2 s JOIN c2n n USING (cell)
+    JOIN vnorm v ON v.vec_id = s.vec_id
+    WHERE s.vec_id = 0
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT vec_id FROM a2
+  WHERE cell IN (SELECT cell FROM probe) OR vec_id = 0
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         unnest((SELECT qe FROM q))::DOUBLE AS y
+  FROM embeddings e JOIN cand USING (vec_id)
+),
+s AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS nx, sum(y * y) AS ny
+      FROM pairs GROUP BY vec_id)
+SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 4) AS cos_sim
+FROM s ORDER BY dot / (sqrt(nx) * sqrt(ny)) DESC, vec_id ASC LIMIT 10
+""",
         "ann_lsh_buckets": """
 WITH planes AS (
   SELECT p.range AS plane, d.range AS dim_idx,
@@ -857,6 +947,7 @@ QUERIES.update(
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "lang_id": q_lang_id,
         "quality": q_quality,

@@ -79,7 +79,11 @@ def blockmax_topk(
             decoded, doclens, termstats, n_docs, fieldstats, tf_mode=tf_mode
         )
 
-    # ---- phase 0: τ from the best blocks (enough to cover k docs)
+    # ---- phase 0: τ from the best blocks (enough to cover k docs).
+    # τ is a 1-row aggregate carried as a BROADCAST subplan (crossJoin)
+    # into the survivor filter — the whole two-phase query is ONE Spark
+    # action with ZERO driver collects; the fewer-than-k case folds in
+    # as the (m < k) disjunct, which passes every block.
     n_seed_blocks = max(1, (k // 64) + 1)  # ≥ k postings at 128/block
     seed = (
         meta.orderBy(F.col("ub").desc(), F.col("term"), F.col("salt"),
@@ -88,32 +92,33 @@ def blockmax_topk(
         .persist()
     )
     seed_scores = score_blocks(seed).orderBy(F.col("score").desc()).limit(k)
-    kth = seed_scores.agg(F.min("score").alias("tau"),
-                          F.count("*").alias("m")).collect()[0]
-    tau = float(kth["tau"]) if kth["m"] is not None and kth["m"] >= k else None
+    tau_df = seed_scores.agg(
+        F.coalesce(F.min("score"), F.lit(float("-inf"))).alias("tau"),
+        F.count("*").alias("m"),
+    )
 
-    if tau is None:
-        # fewer than k docs in the seed → decode everything
-        survivors = meta
-    else:
-        # per-term global max ub (tiny agg) for union bounds; the
-        # cross-term sum is a broadcast 1-row aggregate — executor-side,
-        # no driver collect, so τ's is the only driver round-trip
-        per_term_max = meta.groupBy("term").agg(F.max("ub").alias("max_ub"))
-        total = per_term_max.agg(F.sum("max_ub").alias("sum_ub"))
-        per_term_max = (
-            per_term_max.crossJoin(F.broadcast(total))
-            .withColumn("ub_others", F.col("sum_ub") - F.col("max_ub"))
-            .select("term", "ub_others")
+    # per-term global max ub (tiny agg) for union bounds; the
+    # cross-term sum is a broadcast 1-row aggregate — executor-side
+    per_term_max = meta.groupBy("term").agg(F.max("ub").alias("max_ub"))
+    total = per_term_max.agg(F.sum("max_ub").alias("sum_ub"))
+    per_term_max = (
+        per_term_max.crossJoin(F.broadcast(total))
+        .withColumn("ub_others", F.col("sum_ub") - F.col("max_ub"))
+        .select("term", "ub_others")
+    )
+    survivors = (
+        meta.join(F.broadcast(per_term_max), "term")
+        .crossJoin(F.broadcast(tau_df))
+        .filter(
+            (F.col("m") < F.lit(k))
+            | (F.col("ub") + F.col("ub_others") >= F.col("tau"))
         )
-        survivors = (
-            meta.join(F.broadcast(per_term_max), "term")
-            .filter(F.col("ub") + F.col("ub_others") >= F.lit(tau))
-        )
-        survivors = survivors.unionByName(
-            meta.join(seed.select(*block_key), block_key, "left_semi"),
-            allowMissingColumns=True,
-        ).dropDuplicates(block_key)
+        .drop("tau", "m", "ub_others")
+    )
+    survivors = survivors.unionByName(
+        meta.join(seed.select(*block_key), block_key, "left_semi"),
+        allowMissingColumns=True,
+    ).dropDuplicates(block_key)
 
     spark.sparkContext.setLocalProperty("spark.job.description",
                                         "blockmax phase 1")
