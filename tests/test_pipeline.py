@@ -234,6 +234,33 @@ def test_lsh_ann_multi_probe_recall(spark):
     assert m[0] == 0
 
 
+def test_multimodal_resize_and_frames(spark):
+    from toshi_spark.pipeline.multimodal import (attach_binary, frame_sample,
+                                                 resize)
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 200), (1, "short"), (2, "y" * 64)],
+        "doc_id long, text string",
+    )
+    b = attach_binary(docs)
+    rz = {r.doc_id: r for r in resize(b, target_bytes=64).collect()}
+    assert rz[0].n_bytes == 64          # subsampled down
+    assert rz[1].n_bytes == 5           # short payload passes through
+    assert bytes(rz[1].payload) == b"short"
+    assert rz[2].n_bytes == 64
+    assert bytes(rz[2].payload) == b"y" * 64  # exactly at budget: identity
+    fr = frame_sample(b, frame_bytes=32, every=4).collect()
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_no)
+    # 200 bytes → 6 full frames → frames 0 and 4 sampled
+    assert sorted(by_doc[0]) == [0, 4]
+    # shorter than one frame → single frame 0 with the whole payload
+    assert by_doc[1] == [0]
+    f1 = [bytes(r.frame) for r in fr if r.doc_id == 1]
+    assert f1 == [b"short"]
+
+
 def test_ivf_ann(spark):
     """IVF: deterministic seeded k-means, nprobe cells, exact cosine
     inside — top hit is the query itself; probing all cells recovers

@@ -90,3 +90,78 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         _extract_partition, FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = "doc_id long, payload binary, n_bytes long"
+
+
+def resize(binary_df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """'Resize' the payload to a fixed byte budget (mapInPandas).
+
+    The real image resize (PIL/opencv) is not available in this
+    container, so the transform is a deterministic stand-in: uniform
+    byte subsampling down to ``target_bytes`` (shorter payloads pass
+    through).  The Spark-side plumbing — binary in/binary out, Arrow
+    batching, schema — is the real pattern a decode→resize stage uses.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, sizes = [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if len(b) > target_bytes:
+                    # integer arithmetic (not linspace): i*(L-1)//(T-1)
+                    # is exactly reproducible in the SQL oracle
+                    idx = (np.arange(target_bytes, dtype=np.int64)
+                           * (len(b) - 1)) // (target_bytes - 1)
+                    b = bytes(np.frombuffer(b, dtype=np.uint8)[idx])
+                outs.append(b)
+                sizes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": outs,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _resize, RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_no int, frame binary"
+
+
+def frame_sample(binary_df: DataFrame, frame_bytes: int = 32,
+                 every: int = 4) -> DataFrame:
+    """Sample every ``every``-th fixed-size frame from the payload.
+
+    Video decode is not available here, so a 'frame' is a deterministic
+    fixed-size byte window — the one-row-in/N-rows-out (flatMap) shape,
+    output cardinality, and Arrow batching are exactly what a real
+    frame sampler needs; swap the slicer for a codec when present.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = max(1, len(b) // frame_bytes)
+                for fno in range(0, n_frames, every):
+                    ids.append(int(doc_id))
+                    nos.append(fno)
+                    frames.append(b[fno * frame_bytes:(fno + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _frames, FRAME_SCHEMA
+    )

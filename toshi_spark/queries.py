@@ -607,6 +607,25 @@ def _get_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _BLOCKS_CACHE[key]
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: fixed byte budget via exact integer subsampling;
+    value-checked by md5 of the resized payload."""
+    from .pipeline.multimodal import resize
+
+    out = resize(attach_binary(load_documents(spark, sf_dir)),
+                 target_bytes=64)
+    return out.select("doc_id", "n_bytes", F.md5("payload").alias("rz_hash"))
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 4th 32-byte frame; one row per frame."""
+    from .pipeline.multimodal import frame_sample
+
+    out = frame_sample(attach_binary(load_documents(spark, sf_dir)),
+                       frame_bytes=32, every=4)
+    return out.select("doc_id", "frame_no", F.md5("frame").alias("frame_hash"))
+
+
 def q_blockmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union-of-terms BM25 via the compressed block-max path.
 
@@ -938,6 +957,32 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN h USING (doc_id)
 """,
         "ft_blockmax_topk": _bm25_sql(["query", "window", "stream"], "p.tf", 20),
+        # resize: uniform byte subsample at idx = i*(L-1)//63 for
+        # i in 0..63 (exact integer arithmetic on both engines);
+        # payloads <= 64 bytes pass through
+        "multimodal_resize": """
+SELECT doc_id,
+  CAST(least(strlen(text), 64) AS BIGINT) AS n_bytes,
+  CASE WHEN strlen(text) > 64 THEN
+    md5(array_to_string(list_transform(
+      range(0, 64),
+      i -> substr(text, CAST(i * (strlen(text) - 1) // 63 AS INTEGER) + 1, 1)
+    ), ''))
+  ELSE md5(text) END AS rz_hash
+FROM documents
+""",
+        # frames: every 4th 32-byte window; docs shorter than one frame
+        # emit a single (possibly short) frame 0
+        "multimodal_frames": """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(strlen(text) // 32, 1), 4)) AS frame_no
+  FROM documents
+)
+SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+       md5(substr(text, CAST(frame_no * 32 AS INTEGER) + 1, 32)) AS frame_hash
+FROM f
+""",
     }
 )
 
@@ -953,7 +998,9 @@ QUERIES.update(
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,  # rows-only check
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "ft_blockmax_topk": q_blockmax_topk,
     }
 )
