@@ -55,3 +55,30 @@ def test_term_query_bm25(fixture_index):
     expected = math.log(1.0 + 2.5 / 3.5)
     for r in got:
         assert abs(r.score - expected) < 1e-12
+
+
+def test_doc_ids_dense_and_unique(spark):
+    """assign_doc_ids must yield EXACTLY 0..N-1 (the two-pass ranged
+    scheme materializes its layout once — regression for the 500k run
+    where boundary drift between the count and rank jobs produced
+    duplicate ids: 486,433 distinct for 500,000 rows)."""
+    from toshi_spark.fixtures import synth_webtext
+    from toshi_spark.index.docmap import assign_doc_ids
+
+    n = 60_000
+    corpus = assign_doc_ids(
+        synth_webtext(spark, n, seed=7, partitions=16), order_col="url",
+        num_partitions=16,
+    )
+    ids = corpus.select("doc_id")
+    assert ids.distinct().count() == n
+    row = ids.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+                  F.count("*").alias("c")).collect()[0]
+    assert (row["lo"], row["hi"], row["c"]) == (0, n - 1, n)
+    # deterministic across evaluations
+    again = assign_doc_ids(
+        synth_webtext(spark, n, seed=7, partitions=16), order_col="url",
+        num_partitions=16,
+    )
+    j = corpus.alias("a").join(again.alias("b"), F.col("a.url") == F.col("b.url"))
+    assert j.filter(F.col("a.doc_id") != F.col("b.doc_id")).count() == 0

@@ -42,7 +42,14 @@ def assign_doc_ids(
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(num_partitions, F.col(order_col))
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # PERSIST the ranged layout before the counts pass: the count job
+    # and the rank pass MUST observe the identical partitioning.
+    # repartitionByRange samples the key distribution per execution —
+    # without materialization the two jobs can plan different range
+    # boundaries, and offsets computed from one applied to the other
+    # silently produce duplicate/missing doc ids (observed at 500k:
+    # 486,433 distinct ids for 500,000 rows).
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
     counts = {
         r["__pid"]: r["cnt"]
         for r in with_pid.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
