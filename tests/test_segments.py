@@ -330,6 +330,30 @@ def test_multivalued_promotes_existing_scalar_rowstore(spark,
     assert r2.hits == 1 and r2.docs[0].doc["tags"] == ["second", "third"]
 
 
+def test_date_field_stored_roundtrip_and_range_error(spark,
+                                                     tmp_path_factory):
+    """date fields (server.rs:79) are stored/retrievable; the DSL range
+    query stays i64/u64-only (range.rs:162-171 dispatch) and raises the
+    pinned error for a date field."""
+    from toshi_spark.schema import QueryError
+
+    base = str(tmp_path_factory.mktemp("cat_date"))
+    cat = IndexCatalog(spark, base)
+    cat.create_index("dt", [
+        {"name": "body", "ftype": "text", "stored": True, "indexed": True,
+         "fast": False, "positions": True},
+        {"name": "ts", "ftype": "date", "stored": True, "indexed": True,
+         "fast": True},
+    ])
+    cat.add_document("dt", {"body": "dated doc", "ts": "2020-01-01T00:00:00Z"},
+                     commit=True)
+    ix = cat.open("dt")
+    r = ix.search_json({"query": {"term": {"body": "dated"}}})
+    assert r.hits == 1 and r.docs[0].doc["ts"] == "2020-01-01T00:00:00Z"
+    with pytest.raises(QueryError, match="Invalid field type: date"):
+        ix.search_json({"query": {"range": {"ts": {"gte": 0, "lte": 10}}}})
+
+
 def test_regex_prefix_extraction():
     from toshi_spark.query.compiler import _regex_literal_prefix as p
 

@@ -281,9 +281,14 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple | None = None,
 ) -> DataFrame:
     """ANN via IVF: probe the nprobe cells whose centroids are nearest
     the query (cosine, ties → smallest cell id), exact cosine inside.
+
+    ``index`` optionally supplies a prebuilt ``ivf_assign(...)`` result
+    — the IVF structure is an INDEX artifact (built once, served many
+    times), so query paths should not pay the k-means build per query.
 
     At 100 TB only ~nprobe/k_cells of the corpus is scanned; the
     centroid table is metadata.  Brute-force `cosine_topk` is the
@@ -291,7 +296,10 @@ def ivf_topk(
     """
     import numpy as np
 
-    assign, centroids = ivf_assign(emb, k_cells, id_col, vec_col)
+    assign, centroids = (
+        index if index is not None
+        else ivf_assign(emb, k_cells, id_col, vec_col)
+    )
     qrow = emb.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
     q = np.asarray(qrow[0], dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-300)
