@@ -285,3 +285,50 @@ def test_ivf_ann(spark):
     assign, cents = ivf_assign(emb, k_cells=16)
     assert assign.count() == emb.count()
     assert assign.select("vec_id").distinct().count() == emb.count()
+
+
+def test_stream_windowed_counts_watermark_drops_late(spark, tmp_path_factory):
+    """Watermarked tumbling-window aggregation: windows emit exactly
+    once when the watermark passes their end; an event arriving later
+    than the watermark is DROPPED, not re-aggregated."""
+    import json
+    import os
+
+    from toshi_spark.streaming.windows import stream_windowed_counts
+
+    src = str(tmp_path_factory.mktemp("wst_src"))
+    out = str(tmp_path_factory.mktemp("wst_out"))
+    ckpt = str(tmp_path_factory.mktemp("wst_ckpt"))
+    schema = "event_id long, user_id string, ts string"
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # run 1: three events in hour 10 + one at 13:00 that pushes the
+    # watermark to 12:30, sealing the 10:00-11:00 window
+    write_batch("b1.json", [
+        {"event_id": 1, "user_id": "A", "ts": "2024-01-01 10:05:00"},
+        {"event_id": 2, "user_id": "A", "ts": "2024-01-01 10:20:00"},
+        {"event_id": 3, "user_id": "B", "ts": "2024-01-01 10:30:00"},
+        {"event_id": 4, "user_id": "A", "ts": "2024-01-01 13:00:00"},
+    ])
+    stream_windowed_counts(spark, src, schema, out, ckpt)
+    # run 2: a LATE event for hour 10 (behind the 12:30 watermark -> must
+    # be dropped) plus a fresh one whose window stays open
+    write_batch("b2.json", [
+        {"event_id": 5, "user_id": "B", "ts": "2024-01-01 10:40:00"},
+        {"event_id": 6, "user_id": "B", "ts": "2024-01-01 13:10:00"},
+    ])
+    stream_windowed_counts(spark, src, schema, out, ckpt)
+
+    got = {
+        (str(r.window_start), r.user_id): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour-10 window emitted once with the ON-TIME counts only
+    assert got[("2024-01-01 10:00:00", "A")] == 2
+    assert got[("2024-01-01 10:00:00", "B")] == 1  # late event 5 dropped
+    # hour-13 window is still open (watermark has not passed 14:00)
+    assert not any(k[0].startswith("2024-01-01 13") for k in got)
