@@ -330,6 +330,34 @@ def test_multivalued_promotes_existing_scalar_rowstore(spark,
     assert r2.hits == 1 and r2.docs[0].doc["tags"] == ["second", "third"]
 
 
+def test_auto_merge_on_flush(spark, tmp_path_factory):
+    """The merge policy is writer-attached: 8 micro-segments from 8
+    commits compact automatically on the 8th flush (log policy,
+    min_merge_size=8); policy 'none' never compacts."""
+    base = str(tmp_path_factory.mktemp("cat_automerge"))
+    cat = IndexCatalog(spark, base)
+    cat.create_index("am", [
+        {"name": "text", "ftype": "text", "stored": True, "indexed": True,
+         "fast": False, "positions": True},
+    ])
+    for i in range(8):
+        cat.add_document("am", {"text": f"doc number {i} alpha"},
+                         commit=True)
+    entries = Manifest(cat._dir("am")).entries()
+    assert len(entries) == 1 and entries[0].docs == 8  # compacted
+    ix = cat.open("am")
+    assert ix.search_json({"query": {"term": {"text": "alpha"}}}).hits == 8
+
+    cat.create_index("nm", [
+        {"name": "text", "ftype": "text", "stored": True, "indexed": True,
+         "fast": False, "positions": True},
+    ], merge_policy={"kind": "none"})
+    for i in range(8):
+        cat.add_document("nm", {"text": f"doc number {i} beta"},
+                         commit=True)
+    assert len(Manifest(cat._dir("nm")).entries()) == 8  # NoMergePolicy
+
+
 def test_date_field_stored_roundtrip_and_range_error(spark,
                                                      tmp_path_factory):
     """date fields (server.rs:79) are stored/retrievable; the DSL range

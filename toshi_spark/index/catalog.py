@@ -50,8 +50,17 @@ class IndexCatalog:
 
     # ------------------------------------------------------------ create
 
-    def create_index(self, name: str, schema: IndexSchema | list[dict]) -> None:
-        """PUT /{index}/_create (handlers/index.rs:30-42)."""
+    def create_index(self, name: str, schema: IndexSchema | list[dict],
+                     merge_policy: dict | None = None) -> None:
+        """PUT /{index}/_create (handlers/index.rs:30-42).
+
+        ``merge_policy`` mirrors the reference settings
+        (settings.rs:47-49,190-201): ``{"kind": "log"|"none",
+        "min_merge_size": 8, "min_layer_size": 10000,
+        "level_log_size": 0.75}``; default is the log policy with the
+        reference defaults.  Compaction runs automatically after each
+        commit (flush), like Tantivy's writer-attached merge policy.
+        """
         if isinstance(schema, list):
             if schema and "ftype" in schema[0]:
                 schema = IndexSchema([FieldSpec(**s) for s in schema])
@@ -70,6 +79,7 @@ class IndexCatalog:
                     ),
                     "opstamp": 0,
                     "fields": [vars(s) for s in schema.fields],
+                    "merge_policy": merge_policy or {"kind": "log"},
                 },
                 f,
             )
@@ -220,7 +230,25 @@ class IndexCatalog:
         self._promote_pending_tombstones(name)
         meta["opstamp"] = 0
         self._save_meta(name, meta)
+        # Tantivy's merge policy is writer-attached and engages on
+        # commit (settings.rs:190-201): compact due buckets now
+        self._auto_merge(name)
         return opstamp
+
+    def _auto_merge(self, name: str) -> list[str]:
+        from .merge import run_merge
+
+        meta = self._meta(name)
+        pol = meta.get("merge_policy") or {"kind": "log"}
+        if pol.get("kind", "log") == "none":
+            return []  # NoMergePolicy (settings.rs merge_policy = "none")
+        return run_merge(
+            self.spark, self._dir(name),
+            min_merge_size=int(pol.get("min_merge_size", 8)),
+            min_layer_size=int(pol.get("min_layer_size", 10_000)),
+            level_log_size=float(pol.get("level_log_size", 0.75)),
+            index_name=name,
+        )
 
     def _promote_rowstore_arrays(self, name: str, array_fields: set[str],
                                  meta: dict) -> None:
