@@ -59,9 +59,15 @@ def validate_document(schema: IndexSchema, doc: dict[str, Any]) -> None:
 
 class ToshiApi:
     def __init__(self, catalog: IndexCatalog,
-                 max_line_length: int = DEFAULT_MAX_LINE_LENGTH):
+                 max_line_length: int = DEFAULT_MAX_LINE_LENGTH,
+                 merge_policy: dict | None = None):
+        """``merge_policy`` mirrors the server-config merge settings
+        (settings.rs:47-49: kind log/none + log parameters) — in Toshi
+        the policy is server configuration, not part of the create
+        body, so it is an API-level default applied at index create."""
         self.catalog = catalog
         self.max_line_length = max_line_length
+        self.merge_policy = merge_policy
 
     # -------------------------------------------------------- dispatch
 
@@ -103,7 +109,8 @@ class ToshiApi:
     def _create(self, index: str, body: Any) -> tuple[int, Any]:
         if self.catalog.exists(index):
             return 400, {"message": f"Index: {index} already exists"}
-        self.catalog.create_index(index, body)
+        self.catalog.create_index(index, body,
+                                  merge_policy=self.merge_policy)
         return 201, {}
 
     def _require(self, index: str) -> None:
