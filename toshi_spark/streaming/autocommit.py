@@ -40,8 +40,10 @@ def stream_ingest(
     Returns the StreamingQuery; callers stop() it (or it drains fully
     under availableNow).  Streaming checkpointing (offsets) composes
     with our manifest: offsets say WHAT was read, the manifest says
-    WHAT was committed — a batch id is baked into the segment id, so a
-    replayed batch overwrites idempotently instead of duplicating.
+    WHAT was committed — the batch id is baked into the segment id, so
+    a replayed batch (foreachBatch is at-least-once) is SKIPPED when
+    its segment id is already committed, and Manifest.entries() dedupes
+    by id as defense in depth.
     """
     if checkpoint_dir is None:
         checkpoint_dir = index_dir + "/_stream_checkpoint"
