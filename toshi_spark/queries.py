@@ -77,6 +77,35 @@ def q_term_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk(scored, 20).select("doc_id", _r4())
 
 
+_QIX_CACHE: dict[tuple[str, int], FullTextIndex] = {}
+
+
+def get_quantized_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
+    """Index built with byte-quantized fieldnorms (index/fieldnorm.py)."""
+    key = (sf_dir, id(spark.sparkContext))
+    if key not in _QIX_CACHE:
+        corpus = load_documents(spark, sf_dir)
+        _QIX_CACHE[key] = FullTextIndex.build(
+            spark, corpus, DOC_SCHEMA, id_col="doc_id", name="documents_q",
+            quantize_fieldnorms=True,
+        )
+    return _QIX_CACHE[key]
+
+
+def q_term_bm25_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 in byte-quantized fieldnorm mode (Tantivy stores doc
+    lengths as 1 byte; exact mode is the default elsewhere)."""
+    ix = get_quantized_index(spark, sf_dir)
+    matched = ix.postings.filter(
+        (F.col("field") == "text") & (F.col("term") == "spark")
+    )
+    scored = bm25_score(
+        matched, ix.doclens, ix.termstats, ix.n_docs, ix.fieldstats,
+        tf_mode="full", unique_doc_terms=True,
+    )
+    return topk(scored, 20).select("doc_id", _r4())
+
+
 def q_term_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Toshi term query (tf treated as 1, Basic record option)."""
     ix = get_index(spark, sf_dir)
@@ -319,8 +348,37 @@ FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _bm25_quantized_sql(terms: list[str], tf_expr: str, k: int) -> str:
+    """BM25 with byte-quantized doc lengths: quantize(n) is the
+    greatest representable value <= n, so the committed 256-entry
+    decode table inlines directly; avgdl stays EXACT (Tantivy derives
+    it from segment token totals, not stored norms)."""
+    from .index.fieldnorm import FIELD_NORMS_TABLE
+
+    vals = ", ".join(str(v) for v in sorted(set(FIELD_NORMS_TABLE)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS}
+, fnorm AS (SELECT unnest([{vals}]) AS v),
+qlens AS (
+  SELECT d.doc_id,
+         (SELECT max(v) FROM fnorm WHERE v <= d.dl) AS dl
+  FROM doclens d
+),
+scored AS (
+  SELECT p.doc_id, sum({_BM25.format(tf=tf_expr)}) AS raw_score
+  FROM post p JOIN dfs d USING (tok) JOIN qlens l USING (doc_id), stats s
+  WHERE p.tok IN ({tlist})
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 ORACLES: dict[str, str] = {
     "ft_term_bm25": _bm25_sql(["spark"], "p.tf", 20),
+    "ft_term_bm25_quantized": _bm25_quantized_sql(["spark"], "p.tf", 20),
     "ft_term_basic": _bm25_sql(["spark"], "1.0", 20),
     "ft_term_union_bm25": _bm25_sql(["query", "window", "stream"], "p.tf", 20),
     "ft_phrase": f"""
@@ -422,6 +480,7 @@ FROM g GROUP BY user_id
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ft_term_bm25": q_term_bm25,
+    "ft_term_bm25_quantized": q_term_bm25_quantized,
     "ft_term_basic": q_term_basic,
     "ft_term_union_bm25": q_term_union_bm25,
     "ft_phrase": q_phrase,
