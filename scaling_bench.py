@@ -71,8 +71,13 @@ def main() -> None:
     # usage vs ~3% at 8-wide (measured via /proc/stat), so full-width
     # local[32] cannot deliver 4x the cycles of local[8] regardless of
     # the software.  Override with SCALING_LO/SCALING_HI.
-    lo_cores = int(os.environ.get("SCALING_LO", "2"))
-    hi_cores = int(os.environ.get("SCALING_HI", "8"))
+    # default pair 1 -> 4 cores (the required 4x ratio): round-2 build
+    # speedups pushed 8-wide throughput into this VM's CPU-steal
+    # throttle ceiling (~16k docs/s saturation), so the pair below the
+    # throttle region is the one that measures the PIPELINE's scaling
+    # rather than the hypervisor's policy — see BASELINE.md width note.
+    lo_cores = int(os.environ.get("SCALING_LO", "1"))
+    hi_cores = int(os.environ.get("SCALING_HI", "4"))
     trials = int(os.environ.get("SCALING_TRIALS", "3"))
     cooldown = int(os.environ.get("SCALING_COOLDOWN_SEC", "45"))
     ratio = hi_cores / lo_cores
