@@ -38,14 +38,26 @@ def test_varint_roundtrip_hypothesis(xs):
 def test_encode_run_blocks_and_maxes():
     docs = np.arange(0, 300, dtype=np.int64) * 7 + 3
     tfs = (docs % 5 + 1).astype(np.int64)
-    blocks = encode_run(docs, tfs)
+    dls = (docs % 90 + 10).astype(np.int64)
+    avgdl = float(dls.mean())
+    blocks = encode_run(docs, tfs, dls, avgdl)
     assert len(blocks) == 3  # 300 postings / 128
     b0 = blocks[0]
     assert b0[1] == 3 and b0[2] == docs[127] and b0[3] == 128
     assert b0[4] == int(tfs[:128].max())
-    # round trip doc ids of block 0
-    deltas = varint_decode(b0[5]).astype(np.int64)
+    assert b0[5] == int(tfs[:128].min())
+    assert b0[6] == int(dls[:128].min())
+    assert b0[7] == int(dls[:128].max())
+    # exact impact stats at the reference avgdl
+    tfn = tfs[:128] * 2.2 / (
+        tfs[:128] + 1.2 * (0.25 + 0.75 * dls[:128] / avgdl)
+    )
+    assert abs(b0[8] - tfn.max()) < 1e-12
+    assert abs(b0[9] - np.sort(tfn)[-16]) < 1e-12
+    # round trip doc ids + doc lens of block 0
+    deltas = varint_decode(b0[10]).astype(np.int64)
     assert (np.cumsum(deltas) + b0[1] == docs[:128]).all()
+    assert (varint_decode(b0[12]).astype(np.int64) == dls[:128]).all()
 
 
 @pytest.fixture(scope="module")
@@ -54,7 +66,8 @@ def built(spark):
     ix = build_index(corpus, id_col="doc_id", text_fields="text")
     salted = salted_postings(ix.postings, ix.termstats, df_threshold=150,
                              n_salts=4)
-    blocks = encode_blocks_df(salted).persist()
+    avgdl = {r["field"]: float(r["avgdl"]) for r in ix.fieldstats.collect()}
+    blocks = encode_blocks_df(salted, avgdl).persist()
     return ix, blocks
 
 

@@ -38,8 +38,12 @@ from .builder import IndexTables, build_index, salted_postings
 
 # bump when the on-disk segment layout changes: content-addressed
 # segment ids include it, so stale segments from an older format are
-# never mistaken for committed work (v3: postings carry inline doc_len)
-SEGMENT_FORMAT_VERSION = 3
+# never mistaken for committed work (v3: postings carry inline
+# doc_len; v4: blocks carry min_tf/min_dl/max_dl bounds + inline
+# varint doc lengths).  The version is ALSO recorded per ManifestEntry
+# so readers fail fast on a stale manifest instead of silently reading
+# mixed-schema parquet (null doc_len → null BM25 scores).
+SEGMENT_FORMAT_VERSION = 4
 
 
 @dataclass
@@ -51,6 +55,8 @@ class ManifestEntry:
     postings: int
     bytes: int
     committed_at: str
+    # entries written before versioning default to 0 (= unknown/old)
+    format_version: int = 0
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -161,11 +167,16 @@ def write_segment(
     )
     arranged.write.mode("overwrite").parquet(f"{staging}/postings")
 
+    fieldstats = {
+        r["field"]: float(r["avgdl"]) for r in tables.fieldstats.collect()
+    }
     # encode straight off the arranged partitions (no second shuffle,
     # no per-group pandas); seg id is a literal column (NOT derived
     # from input_file_name at read time — that projection would block
-    # parquet filter pushdown)
-    blocks = encode_sorted_blocks(arranged).withColumn(
+    # parquet filter pushdown); block impact stats reference this
+    # segment's own avgdl (recorded per block for query-time drift
+    # correction against the stitched multi-segment avgdl)
+    blocks = encode_sorted_blocks(arranged, fieldstats).withColumn(
         "seg", F.lit(segment_id)
     )
     blocks.write.mode("overwrite").parquet(f"{staging}/blocks")
@@ -183,9 +194,6 @@ def write_segment(
         .parquet(f"{staging}/termstats")
     )
 
-    fieldstats = {
-        r["field"]: float(r["avgdl"]) for r in tables.fieldstats.collect()
-    }
     n_terms = tables.termstats.count()
     n_postings = tables.postings.count()
     with open(f"{staging}/stats.json", "w") as f:
@@ -233,6 +241,7 @@ def write_segment(
         postings=n_postings,
         bytes=seg_bytes,
         committed_at=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        format_version=SEGMENT_FORMAT_VERSION,
     )
     if publish:
         Manifest(index_dir).append(entry)
@@ -260,8 +269,28 @@ def build_segments(
     recomputed (verified by tests/test_segments.py).
     """
     manifest = Manifest(index_dir)
-    done = manifest.committed_ids()
-    out = list(manifest.entries())
+    # stale-format entries are REPLACED, not appended beside: their new
+    # content-addressed ids differ (fmt is in the id), so leaving the
+    # old entries in the manifest would double-count every chunk's
+    # docs/tf/df.  Rewrite the manifest without them, then drop their
+    # now-unreferenced payload dirs.
+    fresh = [
+        e for e in manifest.entries()
+        if e.format_version == SEGMENT_FORMAT_VERSION
+    ]
+    stale = [
+        e for e in manifest.entries()
+        if e.format_version != SEGMENT_FORMAT_VERSION
+    ]
+    if stale:
+        manifest.replace_all(fresh)
+        for e in stale:
+            shutil.rmtree(
+                os.path.join(index_dir, "segments", e.segment_id),
+                ignore_errors=True,
+            )
+    done = {e.segment_id for e in fresh}
+    out = list(fresh)
     for chunk in range(n_chunks):
         seg_id = segment_id_for(index_name, f"chunk{chunk}of{n_chunks}",
                                 fingerprint)
@@ -300,6 +329,7 @@ def open_segmented_tables(spark: SparkSession, index_dir: str) -> IndexTables:
     entries = manifest.entries()
     if not entries:
         raise FileNotFoundError(f"no committed segments in {index_dir}")
+    _check_format(entries, index_dir)
     seg_dirs = [
         os.path.join(index_dir, "segments", e.segment_id) for e in entries
     ]
@@ -347,11 +377,26 @@ def open_segmented_tables(spark: SparkSession, index_dir: str) -> IndexTables:
     )
 
 
+def _check_format(entries: list[ManifestEntry], index_dir: str) -> None:
+    """Fail fast on a manifest carrying older-format segments: reading
+    mixed segment layouts would drop or null new columns silently."""
+    bad = [e for e in entries if e.format_version != SEGMENT_FORMAT_VERSION]
+    if bad:
+        raise ValueError(
+            f"index at {index_dir} has {len(bad)} segment(s) with format "
+            f"version {sorted({e.format_version for e in bad})} "
+            f"(current: {SEGMENT_FORMAT_VERSION}); rebuild the index "
+            "(build_segments replaces stale-format segments automatically)"
+        )
+
+
 def open_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
     manifest = Manifest(index_dir)
+    entries = manifest.entries()
+    _check_format(entries, index_dir)
     seg_dirs = [
         os.path.join(index_dir, "segments", e.segment_id)
-        for e in manifest.entries()
+        for e in entries
     ]
     # 'seg' disambiguates block keys across segments (the block-max
     # path dedupes on the block key); it is a stored column so term

@@ -675,7 +675,17 @@ def _get_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ix = get_index(spark, sf_dir)
         salted = salted_postings(ix.postings, ix.termstats,
                                  df_threshold=200, n_salts=4)
-        _BLOCKS_CACHE[key] = encode_blocks_df(salted).persist()
+        avgdl = {r["field"]: float(r["avgdl"])
+                 for r in ix.fieldstats.collect()}
+        # coalesce the cached artifact: encoding wants wide parallelism
+        # but the cache holds ~n_postings/128 small rows — serving scans
+        # of a 64-way in-memory table pay 64 task launches per stage.
+        # (durable indexes read blocks from parquet, where file sizing
+        # picks the partition count.)
+        n_parts = max(1, spark.sparkContext.defaultParallelism // 4)
+        _BLOCKS_CACHE[key] = (
+            encode_blocks_df(salted, avgdl).coalesce(n_parts).persist()
+        )
     return _BLOCKS_CACHE[key]
 
 

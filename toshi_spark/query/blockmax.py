@@ -1,47 +1,76 @@
-"""Block-max two-phase top-k over the compressed block table.
+"""Metadata-pruned block-max top-k over the compressed block table.
 
 Spark rendition of Tantivy 0.19's BlockWAND (engaged by the plain
 ``TopDocs`` collector the reference uses, ``handle.rs:94`` — SURVEY.md
 §4 pins this as an explicit requirement).  Sequential WAND does not
-map to a distributed engine, so we use a sound two-phase plan:
+map to a distributed engine; the distributed equivalent is a
+metadata-pruned scan.  Since block format v4 the pruning threshold τ
+comes from block METADATA alone (no seed decode), so the plan is:
 
-  phase 0  rank block metadata by per-block upper bound
-             ub(block) = idf(term) · (k1+1)·max_tf / (max_tf + k1·(1−b))
-           (the doclen→0 bound: tf_norm is maximized as dl→0) and
-           decode just enough of the best blocks to cover k docs;
-           their exact kth score is a LOWER bound τ on the final kth
-           score (underestimates are sound — they only reduce pruning).
-  phase 1  keep blocks whose optimistic total
-             ub(block) + Σ_{t'≠t} max_ub(t')
-           can still reach τ; decode + score only those; union with
-           the phase-0 blocks; exact BM25; global top-k.
+  job 1    per-term bound aggregation over the metadata columns of the
+           query terms' blocks — a column-pruned, term-filter-pushed
+           scan (payload bytes are never read), window cumsum, ≤ one
+           output row per query term, collected to the driver.  This
+           is a METADATA-scale collect, like fieldstats: at 10^12 docs
+           it reduces ~df/128 skip entries per term to len(terms) rows.
+  job 2    survivor filter with the bounds inlined as LITERALS (no
+           broadcast subplans, no extra exchanges), Arrow-decode the
+           surviving payloads, exact BM25 against the broadcast query-
+           term stats (doc_len rides inline in the payload — zero
+           doclens join), distributed top-k.
+
+Bound construction:
+
+  each block stores its EXACT impact stats at the segment's build
+  avgdl: max_tfn (BlockWAND's per-block max score sans idf) and hi_tfn
+  (the HI_RANK-th largest tf_norm — the block certifies
+  min(count, HI_RANK) postings ≥ hi_tfn; a doc_id-ordered block's MIN
+  is near the corpus floor and would prune nothing).  When query-time
+  avgdl differs (stitched multi-segment mean), the per-posting ratio
+  tfn_q/tfn_ref = (tf+A+C_r·dl)/(tf+A+C_q·dl) is monotone in tf and
+  dl, so its extremes lie at the corners of
+  [min_tf,max_tf]×[min_dl,max_dl]:
+
+      ub(block) = idf · max_tfn · max(corner ratios)
+      hi(block) = idf · hi_tfn  · min(corner ratios)
+
+  τ_t = the crossing block's hi when Σ min(count, HI_RANK) in hi-desc
+  order first reaches k — sound because a term's postings are distinct
+  docs (salts split by doc_id, segments are disjoint) and total score
+  only adds over terms.  τ = max_t τ_t.  A block survives iff
+
+      ub(block) + Σ_{t'≠t} max_ub(t') ≥ τ.
 
 Soundness: a doc only in pruned blocks has, for each query term t it
 matches, block ub below the survivor line, so its total score
 < τ ≤ kth exact score — it cannot enter the top-k.  Ties survive
 because the filter is ``>=``.
-
-Everything is DataFrame algebra + the Arrow block decoder; block
-metadata never funnels through the driver.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from .. import B, K1
-from ..index.blocks import decode_blocks_df
-from ..scoring import bm25_score, idf_col, topk
+from ..index.blocks import HI_RANK, decode_blocks_df
+from ..scoring import idf_col, tf_norm_dyn, topk
 
 
-def _with_ub(blocks: DataFrame, termstats: DataFrame, n_docs: int) -> DataFrame:
-    """Attach the per-block BM25 upper bound."""
-    joined = blocks.join(termstats.select("field", "term", "df"), ["field", "term"])
-    max_tf = F.col("max_tf").cast("double")
-    tf_norm_ub = max_tf * F.lit(K1 + 1.0) / (max_tf + F.lit(K1 * (1.0 - B)))
-    return joined.withColumn(
-        "ub", idf_col(n_docs, F.col("df").cast("double")) * tf_norm_ub
-    )
+def _avgdl_for(fieldstats: DataFrame | float, field: str) -> float:
+    """Query-time avgdl as a scalar (fieldstats is literal metadata —
+    built indexes materialize it as a local relation, segment opens
+    stitch it from stats.json).  Collected UNFILTERED: a bare collect
+    on a local relation is a driver-side LocalTableScan (no job); a
+    filter on top would fall back to a full task launch."""
+    if isinstance(fieldstats, (int, float)):
+        return float(fieldstats)
+    for r in fieldstats.collect():
+        if r["field"] == field:
+            return float(r["avgdl"])
+    return 0.0
 
 
 def blockmax_topk(
@@ -55,72 +84,146 @@ def blockmax_topk(
     k: int,
     tf_mode: str = "full",
 ) -> DataFrame:
-    """Top-k BM25 over a union-of-terms query using block-max pruning."""
-    spark = blocks.sparkSession
+    """Top-k BM25 over a union-of-terms query using block-max pruning.
+
+    ``doclens`` is accepted for API compatibility but unused: block
+    payloads carry doc_len inline (format v4), so scoring the decoded
+    survivors needs no doclens join.
+    """
+    avgdl = _avgdl_for(fieldstats, field)
     cand = blocks.filter(
         (F.col("field") == field) & F.col("term").isin(list(terms))
     )
-    # block identity key: within one segment (field,term,salt,block_id)
-    # is unique; multi-segment block tables carry a 'seg' column
-    block_key = [
-        c for c in ("seg", "field", "term", "salt", "block_id")
-        if c in blocks.columns
+    # query-term dictionary slice: tiny (≤ len(terms) rows), broadcast
+    # everywhere — the scoring join after the opaque Arrow decode gets
+    # no inferred constraints, so pre-filtering is what keeps the full
+    # dictionary out of the plan
+    ts_q = termstats.filter(
+        (F.col("field") == field) & F.col("term").isin(list(terms))
+    ).select("field", "term", "df")
+    meta = cand.join(F.broadcast(ts_q), ["field", "term"])
+    idf = idf_col(n_docs, F.col("df").cast("double"))
+
+    a_const = F.lit(K1 * (1.0 - B))
+    c_ref = F.lit(K1 * B) / F.col("ref_avgdl")
+    c_q = F.lit(K1 * B / max(avgdl, 1e-300))
+
+    def ratio(tf: Column, dl: Column) -> Column:
+        return (tf + a_const + c_ref * dl) / (tf + a_const + c_q * dl)
+
+    corners = [
+        ratio(F.col(tf).cast("double"), F.col(dl).cast("double"))
+        for tf in ("min_tf", "max_tf")
+        for dl in ("min_dl", "max_dl")
     ]
-    meta = _with_ub(cand, termstats, n_docs).persist()
+    if tf_mode == "basic":
+        # tf pinned to 1: impact stats (built on real tf) don't apply;
+        # bound the tf=1 norm directly from the dl corner stats
+        def tfn1(dl: Column) -> Column:
+            return F.lit(K1 + 1.0) / (F.lit(1.0) + a_const + c_q * dl)
 
-    def score_blocks(bdf: DataFrame) -> DataFrame:
-        decoded = decode_blocks_df(
-            bdf.select(
-                "field", "term", "salt", "block_id", "first_doc", "last_doc",
-                "count", "max_tf", "doc_deltas", "tfs",
+        ub = idf * tfn1(F.col("min_dl").cast("double"))
+        # EVERY posting scores ≥ the tf=1 norm at max_dl, so the block
+        # certifies its full count at hi
+        hi = idf * tfn1(F.col("max_dl").cast("double"))
+        hi_n = F.col("count").cast("long")
+    else:
+        ub = idf * F.col("max_tfn") * F.greatest(*corners)
+        hi = idf * F.col("hi_tfn") * F.least(*corners)
+        hi_n = F.least(F.col("count"), F.lit(HI_RANK)).cast("long")
+    meta = (
+        meta.withColumn("ub", ub)
+        .withColumn("hi", hi)
+        .withColumn("hi_n", hi_n)
+    )
+
+    # job 1: per-term (τ_t, max_ub) off metadata columns only.  The
+    # candidate metadata has ≤ len(terms)·(n_docs/BLOCK_SIZE + salts)
+    # rows — when that bound is collectable, a plain scan+collect (no
+    # exchanges) beats the window plan's two shuffles; past the bound
+    # (10^9+ doc terms) the distributed window is the scale shape.
+    max_meta_rows = len(terms) * (n_docs // 128 + 64)
+    dfs: dict[str, int] = {}
+    if max_meta_rows <= 1_000_000:
+        rows = meta.select("term", "df", "hi", "hi_n", "ub").collect()
+        by_term: dict[str, list] = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+            dfs[r["term"]] = int(r["df"])
+        taus, max_ubs = [], {}
+        for t, rs in by_term.items():
+            rs.sort(key=lambda r: -r["hi"])
+            max_ubs[t] = max(r["ub"] for r in rs)
+            cum = 0
+            for r in rs:
+                cum += r["hi_n"]
+                if cum >= k:
+                    taus.append(r["hi"])
+                    break
+        sum_ub = sum(max_ubs.values())
+        tau = max(taus) if taus else float("-inf")
+        ub_others = {t: sum_ub - v for t, v in max_ubs.items()}
+    else:
+        w = Window.partitionBy("term").orderBy(
+            F.col("hi").desc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        per_term = (
+            meta.select("term", "df", "hi", "hi_n", "ub")
+            .withColumn("cum", F.sum("hi_n").over(w))
+            .groupBy("term")
+            .agg(
+                F.max(
+                    F.when(F.col("cum") >= F.lit(k), F.col("hi"))
+                ).alias("tau_t"),
+                F.max("ub").alias("max_ub"),
+                F.max("df").alias("df"),
             )
+            .collect()
         )
-        return bm25_score(
-            decoded, doclens, termstats, n_docs, fieldstats, tf_mode=tf_mode
+        taus = [r["tau_t"] for r in per_term if r["tau_t"] is not None]
+        tau = max(taus) if taus else float("-inf")
+        sum_ub = sum(r["max_ub"] for r in per_term)
+        ub_others = {r["term"]: sum_ub - r["max_ub"] for r in per_term}
+        dfs = {r["term"]: int(r["df"]) for r in per_term}
+
+    # job 2: literal-bound survivor filter → decode → exact BM25 → top-k.
+    # df came back with job 1, so idf inlines as ≤ len(terms) literals:
+    # the scoring pass is decode → column arithmetic → one groupBy(doc)
+    # — no dictionary join at all.
+    others_map = F.create_map(
+        *[x for t, v in ub_others.items() for x in (F.lit(t), F.lit(v))]
+    )
+    survivors = meta.filter(
+        F.col("ub") + F.coalesce(others_map[F.col("term")], F.lit(0.0))
+        >= F.lit(tau)
+    )
+    decoded = decode_blocks_df(
+        survivors.select("field", "term", "first_doc", "doc_deltas",
+                         "tfs", "dls")
+    )
+    idf_map = F.create_map(
+        *[
+            x
+            for t, df_t in dfs.items()
+            for x in (
+                F.lit(t),
+                F.lit(
+                    math.log(
+                        1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)
+                    )
+                ),
+            )
+        ]
+    )
+    tf = F.lit(1.0) if tf_mode == "basic" else F.col("tf").cast("double")
+    scored = (
+        decoded.withColumn(
+            "part_score",
+            idf_map[F.col("term")]
+            * tf_norm_dyn(tf, F.col("doc_len").cast("double"),
+                          F.lit(avgdl)),
         )
-
-    # ---- phase 0: τ from the best blocks (enough to cover k docs).
-    # τ is a 1-row aggregate carried as a BROADCAST subplan (crossJoin)
-    # into the survivor filter — the whole two-phase query is ONE Spark
-    # action with ZERO driver collects; the fewer-than-k case folds in
-    # as the (m < k) disjunct, which passes every block.
-    n_seed_blocks = max(1, (k // 64) + 1)  # ≥ k postings at 128/block
-    seed = (
-        meta.orderBy(F.col("ub").desc(), F.col("term"), F.col("salt"),
-                     F.col("block_id"))
-        .limit(n_seed_blocks)
-        .persist()
+        .groupBy("doc_id")
+        .agg(F.sum("part_score").alias("score"))
     )
-    seed_scores = score_blocks(seed).orderBy(F.col("score").desc()).limit(k)
-    tau_df = seed_scores.agg(
-        F.coalesce(F.min("score"), F.lit(float("-inf"))).alias("tau"),
-        F.count("*").alias("m"),
-    )
-
-    # per-term global max ub (tiny agg) for union bounds; the
-    # cross-term sum is a broadcast 1-row aggregate — executor-side
-    per_term_max = meta.groupBy("term").agg(F.max("ub").alias("max_ub"))
-    total = per_term_max.agg(F.sum("max_ub").alias("sum_ub"))
-    per_term_max = (
-        per_term_max.crossJoin(F.broadcast(total))
-        .withColumn("ub_others", F.col("sum_ub") - F.col("max_ub"))
-        .select("term", "ub_others")
-    )
-    survivors = (
-        meta.join(F.broadcast(per_term_max), "term")
-        .crossJoin(F.broadcast(tau_df))
-        .filter(
-            (F.col("m") < F.lit(k))
-            | (F.col("ub") + F.col("ub_others") >= F.col("tau"))
-        )
-        .drop("tau", "m", "ub_others")
-    )
-    survivors = survivors.unionByName(
-        meta.join(seed.select(*block_key), block_key, "left_semi"),
-        allowMissingColumns=True,
-    ).dropDuplicates(block_key)
-
-    spark.sparkContext.setLocalProperty("spark.job.description",
-                                        "blockmax phase 1")
-    result = topk(score_blocks(survivors), k)
-    return result
+    return topk(scored, k)
