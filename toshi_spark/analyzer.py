@@ -172,8 +172,11 @@ ANALYZERS: dict[str, "callable"] = {
 
 
 def get_analyzer(name: str):
+    # case-insensitive: reference schemas spell the CJK tokenizer
+    # 'CANG_JIE' (the cang_jie::CANG_JIE constant,
+    # toshi-server/src/handlers/index.rs:105, lib.rs:63-69)
     try:
-        return ANALYZERS[name]
+        return ANALYZERS[str(name).lower()]
     except KeyError:
         raise ValueError(
             f"Unknown tokenizer: {name!r} (registered: "

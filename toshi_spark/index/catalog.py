@@ -66,6 +66,9 @@ class IndexCatalog:
                 schema = IndexSchema([FieldSpec(**s) for s in schema])
             else:  # Toshi schema-JSON shape {name, type, options}
                 schema = IndexSchema.from_json(schema)
+        # unknown tokenizer names must fail HERE with the pinned
+        # QueryError, not later inside an executor-side analyze kernel
+        schema.validate_tokenizers()
         idx_dir = self._dir(name)
         if os.path.exists(os.path.join(idx_dir, "index.json")):
             raise QueryError(f"Index: {name} already exists")
@@ -176,6 +179,7 @@ class IndexCatalog:
         """
         meta = self._meta(name)
         opstamp = int(meta.get("opstamp", 0))
+        self._recover_rowstore(name)
         pending = os.path.join(self._dir(name), "pending.jsonl")
         if os.path.exists(pending) and os.path.getsize(pending) > 0:
             schema = self.schema(name)
@@ -222,9 +226,16 @@ class IndexCatalog:
             seg_id = segment_id_for(name, f"flush-{flush_no}", str(opstamp))
             write_segment(self.spark, tables, self._dir(name), seg_id,
                           opstamp=opstamp)
-            # stash the flushed rows so open() can serve stored fields
+            # stash the flushed rows so open() can serve stored fields.
+            # Written under a per-flush subdirectory keyed by seg_id
+            # with overwrite semantics: a crash between this write and
+            # the meta save replays the SAME pending docs into the SAME
+            # directory — idempotent, so searches never see duplicate
+            # stored rows (mirrors the manifest's dedupe-by-segment-id).
             rowstore = os.path.join(self._dir(name), "rowstore")
-            sdf.write.mode("append").parquet(rowstore)
+            sdf.write.mode("overwrite").parquet(
+                os.path.join(rowstore, f"flush-{seg_id}")
+            )
             os.remove(pending)
         # deletes become visible at the commit point, like the reference
         self._promote_pending_tombstones(name)
@@ -250,19 +261,57 @@ class IndexCatalog:
             index_name=name,
         )
 
+    def _rowstore_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "rowstore")
+
+    def _read_rowstore(self, name: str) -> DataFrame | None:
+        """Row store = flat parquet (post-promotion rewrites) and/or
+        per-flush subdirectories (idempotent appends)."""
+        rowstore = self._rowstore_path(name)
+        if not os.path.exists(rowstore):
+            return None
+        return self.spark.read.option(
+            "recursiveFileLookup", "true"
+        ).parquet(rowstore)
+
+    def _recover_rowstore(self, name: str) -> None:
+        """Finish or discard an interrupted array-promotion swap.
+
+        Invariants: ``rowstore.promote`` only ever holds a COMPLETE
+        rewrite (it is written before any rename), and the old data is
+        renamed ASIDE (never deleted) before the new data moves in —
+        so every crash point leaves either the old or the new complete
+        row store recoverable.
+        """
+        rowstore = self._rowstore_path(name)
+        tmp, old = rowstore + ".promote", rowstore + ".old"
+        if not os.path.exists(rowstore):
+            if os.path.exists(tmp):  # crashed between the two renames
+                os.replace(tmp, rowstore)
+            elif os.path.exists(old):  # defensive: tmp lost somehow
+                os.replace(old, rowstore)
+        else:
+            # rowstore intact → any leftovers are stale (an incomplete
+            # promote rewrite, or the pre-swap copy after a completed
+            # swap); the promotion re-runs on the next flush because
+            # meta.array_fields only updates after a successful swap
+            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+
     def _promote_rowstore_arrays(self, name: str, array_fields: set[str],
                                  meta: dict) -> None:
         """Rewrite scalar row-store columns to array<...> for fields
         that have gone multi-valued (one-time schema promotion; the
         rowstore holds only flushed docs, so the rewrite is small)."""
-        rowstore = os.path.join(self._dir(name), "rowstore")
-        if not os.path.exists(rowstore):
+        self._recover_rowstore(name)
+        rowstore = self._rowstore_path(name)
+        df = self._read_rowstore(name)
+        if df is None:
             return
         already = set(meta.get("array_fields", []))
         todo = array_fields - already
         if not todo:
             return
-        df = self.spark.read.parquet(rowstore)
         changed = False
         for f in todo:
             if f in df.columns and not str(
@@ -274,10 +323,14 @@ class IndexCatalog:
                 changed = True
         if not changed:
             return
-        tmp = rowstore + ".promote"
+        tmp, old = rowstore + ".promote", rowstore + ".old"
         df.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(rowstore)
+        # swap via rename-aside: the old row store is never deleted
+        # before the new one is in place (_recover_rowstore completes
+        # an interrupted swap on the next open/flush)
+        os.replace(rowstore, old)
         os.replace(tmp, rowstore)
+        shutil.rmtree(old, ignore_errors=True)
 
     def rollback(self, name: str) -> None:
         """Discard uncommitted adds AND deletes (bulk.rs:121-129)."""
@@ -383,12 +436,11 @@ class IndexCatalog:
         otherwise the flushed rowstore parquet (if any) is used.
         """
         schema = self.schema(name)
+        self._recover_rowstore(name)
         tables = open_segmented_tables(self.spark, self._dir(name))
         if corpus is None:
-            rowstore = os.path.join(self._dir(name), "rowstore")
-            if os.path.exists(rowstore):
-                corpus = self.spark.read.parquet(rowstore)
-            else:
+            corpus = self._read_rowstore(name)
+            if corpus is None:
                 corpus = tables.doclens.select("doc_id").distinct()
         # stored-field retrieval needs every stored column present; an
         # index opened without its row store (ingest() indexes a corpus

@@ -30,8 +30,13 @@ class FieldSpec:
     positions: bool = True  # record: position
     # analyzer registry key (schema "tokenizer" option): Toshi keys
     # extra tokenizers by name, e.g. the feature-gated CJK tokenizer
-    # under cang_jie::CANG_JIE (toshi-server/src/lib.rs:57-72)
+    # under cang_jie::CANG_JIE (toshi-server/src/lib.rs:57-72) — names
+    # normalize case-insensitively so the reference's 'CANG_JIE'
+    # spelling resolves
     tokenizer: str = "default"
+
+    def __post_init__(self) -> None:
+        self.tokenizer = str(self.tokenizer).lower()
 
 
 @dataclass
@@ -60,6 +65,18 @@ class IndexSchema:
 
     def text_fields(self) -> list[FieldSpec]:
         return [f for f in self.fields if f.ftype == "text" and f.indexed]
+
+    def validate_tokenizers(self) -> None:
+        """Raise the pinned QueryError for unregistered tokenizer names
+        at schema-accept time (create_index) — NOT later inside an
+        executor-side analyze kernel."""
+        from .analyzer import get_analyzer
+
+        for f in self.fields:
+            try:
+                get_analyzer(f.tokenizer)
+            except ValueError as e:
+                raise QueryError(str(e)) from None
 
     @classmethod
     def from_json(cls, specs: list[dict]) -> "IndexSchema":

@@ -19,8 +19,6 @@ downstream consumer wants).
 
 from __future__ import annotations
 
-import time
-
 from pyspark.sql import SparkSession, functions as F
 
 
@@ -72,6 +70,10 @@ def stream_windowed_counts(
         writer = writer.trigger(availableNow=True)
     q = writer.start()
     if available_now:
-        while q.isActive:
-            time.sleep(0.2)
+        # awaitTermination re-raises the stream's exception — a failed
+        # query (bad schema, unwritable sink) must surface instead of
+        # returning silently with partial/empty parquet output
+        q.awaitTermination()
+        if q.exception() is not None:
+            raise q.exception()
     return q
