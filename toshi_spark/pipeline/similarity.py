@@ -104,12 +104,14 @@ def rh_signatures(
     form (posexplode rows×dim + broadcast plane join + two groupBys)
     materialized ~dim× the input; at 100 TB that intermediate IS the
     job, so the batched kernel is the scale shape.
+
+    The embedding dimension is inferred INSIDE the kernel per batch
+    (plane matrix memoized per dim on each worker) — no driver-side
+    ``.first()`` action before the real job.
     """
     import numpy as np
     import pyarrow as pa
 
-    dim = len(emb.select(vec_col).first()[0])
-    planes_t = _plane_matrix(n_planes, dim).T  # (dim, n_planes)
     weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
 
     out_schema = pa.schema(
@@ -117,6 +119,7 @@ def rh_signatures(
     )
 
     def kernel(batches):
+        planes_by_dim: dict[int, np.ndarray] = {}
         for b in batches:
             n = b.num_rows
             if n == 0:
@@ -124,13 +127,16 @@ def rh_signatures(
             ids = b.column(0).to_numpy(zero_copy_only=False).astype("int64")
             lists = b.column(1)
             flat = lists.flatten().to_numpy(zero_copy_only=False)
-            if flat.size != n * dim:
+            if flat.size % n:
                 raise ValueError(
-                    f"ragged embedding column: expected {n}x{dim}, "
-                    f"got {flat.size} values"
+                    f"ragged embedding column: {flat.size} values over "
+                    f"{n} rows"
                 )
+            dim = flat.size // n
+            if dim not in planes_by_dim:
+                planes_by_dim[dim] = _plane_matrix(n_planes, dim).T
             v = flat.astype(np.float64, copy=False).reshape(n, dim)
-            proj = v @ planes_t  # (n, n_planes)
+            proj = v @ planes_by_dim[dim]  # (n, n_planes)
             buckets = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, type=pa.int64()),
@@ -146,21 +152,53 @@ def rh_signatures(
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 16,
+    n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH blocking.
+    """Embedding-cosine near-duplicate pairs via BANDED LSH blocking.
 
     All-pairs cosine is O(n²) scans at 100 TB; random-hyperplane
-    buckets make it an equi-join (same shape as MinHash-LSH for text):
-    only same-bucket pairs get an exact cosine, then filter ≥ threshold.
-    Returns (a, b, cos_sim).
+    buckets make it an equi-join (same shape as MinHash-LSH for text).
+    A single AND of all n_planes bits has hopeless recall — at
+    cos=0.95 a true pair agrees on one bit w.p. 1−θ/π ≈ 0.899, so 16
+    bits collide w.p. 0.899^16 ≈ 0.18.  Banding ORs n_bands groups of
+    r = n_planes/n_bands bits (exactly the MinHash-LSH construction in
+    dedup.lsh_candidate_pairs): collide w.p. 1−(1−0.899⁴)⁴ ≈ 0.986 at
+    cos=0.95.  Only same-(band, sub-bucket) pairs get an exact cosine,
+    then filter ≥ threshold; buckets above ``max_bucket_size`` are
+    dropped (boilerplate skew guard).  Returns (a, b, cos_sim).
     """
+    if n_planes % n_bands:
+        raise ValueError("n_planes must be divisible by n_bands")
+    r = n_planes // n_bands
+    mask = (1 << r) - 1
     sigs = rh_signatures(emb, n_planes, id_col, vec_col)
-    a = sigs.select(F.col("vec_id").alias("a"), "bucket")
-    b = sigs.select(F.col("vec_id").alias("b"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b")
+    banded = None
+    for band in range(n_bands):
+        part = sigs.select(
+            "vec_id",
+            F.lit(band).alias("band"),
+            F.shiftright(F.col("bucket"), band * r).bitwiseAND(
+                F.lit(mask).cast("long")
+            ).alias("bb"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    from pyspark.sql.window import Window
+
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bb"))
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select("band", "bb", F.col("vec_id").alias("a"))
+    b = sized.select("band", "bb", F.col("vec_id").alias("b"))
+    pairs = (
+        a.join(b, ["band", "bb"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
     ea = emb.select(F.col(id_col).alias("a"),
                     _as_double(F.col(vec_col)).alias("va"))
     eb = emb.select(F.col(id_col).alias("b"),
@@ -180,28 +218,67 @@ def embedding_neardup_pairs(
 
 
 def _collect_centroids(emb_with_cell: DataFrame, vec_col: str):
-    """cell means → {cell: numpy vector} (metadata-scale driver collect:
-    k_cells × dim values, like fieldstats — NOT a data collect)."""
-    import numpy as np
+    """cell means → {cell: numpy vector}.
 
-    rows = (
-        emb_with_cell.select(
-            "cell", F.posexplode(_as_double(F.col(vec_col))).alias("dim_idx", "x")
+    One mapInArrow pass emits PER-PARTITION partial sums (cell, n,
+    sum-vector) — at most k_cells rows per partition — which the driver
+    combines in numpy.  The collect is metadata-scale (partitions ×
+    k_cells × dim, like fieldstats); the old posexplode form
+    materialized a rows×dim intermediate, the exact shape the LSH
+    signature kernel eliminated ("at 100 TB that intermediate IS the
+    job").
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            pa.field("cell", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("s", pa.list_(pa.float64())),
+        ]
+    )
+
+    def kernel(batches):
+        acc: dict[int, tuple[int, "np.ndarray"]] = {}
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            cells = b.column(0).to_numpy(zero_copy_only=False).astype("int64")
+            flat = b.column(1).flatten().to_numpy(zero_copy_only=False)
+            dim = flat.size // n
+            v = flat.astype(np.float64, copy=False).reshape(n, dim)
+            for c in np.unique(cells):
+                mask = cells == c
+                cnt, s = acc.get(int(c), (0, np.zeros(dim)))
+                acc[int(c)] = (cnt + int(mask.sum()), s + v[mask].sum(axis=0))
+        if not acc:
+            return
+        ks = sorted(acc)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ks, type=pa.int64()),
+                pa.array([acc[c][0] for c in ks], type=pa.int64()),
+                pa.array([acc[c][1].tolist() for c in ks],
+                         type=pa.list_(pa.float64())),
+            ],
+            schema=out_schema,
         )
-        .groupBy("cell", "dim_idx")
-        .agg(F.avg("x").alias("c"))
+
+    partials = (
+        emb_with_cell.select(F.col("cell").cast("long"), F.col(vec_col))
+        .mapInArrow(kernel, "cell long, n long, s array<double>")
         .collect()
     )
-    cells: dict[int, dict[int, float]] = {}
-    for r in rows:
-        cells.setdefault(int(r["cell"]), {})[int(r["dim_idx"])] = float(r["c"])
-    out = {}
-    for cell, dims in cells.items():
-        v = np.zeros(max(dims) + 1)
-        for i, x in dims.items():
-            v[i] = x
-        out[cell] = v
-    return out
+    totals: dict[int, tuple[int, "np.ndarray"]] = {}
+    for r in partials:
+        cnt, s = totals.get(int(r["cell"]), (0, None))
+        sv = np.asarray(r["s"], dtype=np.float64)
+        totals[int(r["cell"])] = (
+            cnt + int(r["n"]), sv if s is None else s + sv
+        )
+    return {c: s / max(cnt, 1) for c, (cnt, s) in totals.items()}
 
 
 def _assign_cells(emb: DataFrame, centroids: dict, id_col: str,
@@ -293,29 +370,45 @@ def ivf_topk(
     At 100 TB only ~nprobe/k_cells of the corpus is scanned; the
     centroid table is metadata.  Brute-force `cosine_topk` is the
     recall baseline; this is the scale path alongside the LSH variant.
-    """
-    import numpy as np
 
+    The whole probe is lazy: centroids are a literal local relation,
+    the query vector is a 1-row broadcast subplan, and cell ranking is
+    a tiny crossJoin + limit — ZERO driver actions before the job.
+    """
     assign, centroids = (
         index if index is not None
         else ivf_assign(emb, k_cells, id_col, vec_col)
     )
-    qrow = emb.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
-    q = np.asarray(qrow[0], dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-300)
-    ranked = sorted(
-        centroids.items(),
-        key=lambda kv: (
-            -float(np.dot(qn, kv[1] / max(np.linalg.norm(kv[1]), 1e-300))),
-            kv[0],
-        ),
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in sorted(centroids.items())],
+        "cell long, centroid array<double>",
     )
-    probe = [int(c) for c, _ in ranked[:nprobe]]
+    qvec = emb.filter(F.col(id_col) == query_vec_id).select(
+        _as_double(F.col(vec_col)).alias("qe")
+    )
+    cv = F.col("centroid")
+    ranked = (
+        cent_df.crossJoin(F.broadcast(qvec))
+        .select(
+            "cell",
+            (
+                _dot(cv, F.col("qe"))
+                / (F.sqrt(_dot(cv, cv)) + F.lit(1e-300))
+            ).alias("csim"),
+        )
+        .orderBy(F.col("csim").desc(), F.col("cell").asc())
+        .limit(nprobe)
+        .select("cell")
+    )
     # the query vector itself always qualifies (cosine_topk reads the
     # query embedding from the candidate set)
-    cand_ids = assign.filter(
-        F.col("cell").isin(probe) | (F.col("vec_id") == query_vec_id)
-    ).select("vec_id")
+    probe_ids = assign.join(F.broadcast(ranked), "cell", "left_semi").select(
+        "vec_id"
+    )
+    cand_ids = probe_ids.unionByName(
+        spark.createDataFrame([(int(query_vec_id),)], "vec_id long")
+    )
     cand = emb.join(
         cand_ids, emb[id_col] == cand_ids["vec_id"], "left_semi"
     )

@@ -1091,30 +1091,46 @@ QUERIES.update(
 def _emb_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ 5 injected near-duplicates (ids shifted by 100000).
 
-    The copies are scaled by 1.5 with per-element rounding back to
-    float: positive scaling preserves every hyperplane projection's
-    sign (same LSH bucket, guaranteed candidate pair) and cosine ≈ 1.0,
-    so the ≥ threshold path is actually exercised — the raw sf tables
-    have no near-dups, which made the old green check vacuous.
+    The copies are NOISE-PERTURBED: element i is scaled by
+    (1 + 0.03·s_i) with a deterministic ±1 sign from md5 parity of
+    "vec_id:i".  Unlike a positive scaling (which preserves every
+    hyperplane projection's sign and therefore could never catch a
+    recall bug in the LSH blocking), the perturbation moves each
+    projection — the banded candidate generation has to genuinely
+    recover the pair.  Cosine of a perturbed copy stays ≈ 0.9995,
+    so the ≥ threshold path is exercised with real near-dups.
     """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
+
+    def _perturb(x, i):
+        parity = F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat_ws(":",
+                                           F.col("vec_id").cast("string"),
+                                           i.cast("string")), "utf-8")),
+                1, 2,
+            ),
+            16, 10,
+        ).cast("int") % 2
+        sign = F.when(parity == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        return (x * (F.lit(1.0) + F.lit(0.03) * sign)).cast("float")
+
     pert = emb.filter(F.col("vec_id") < 5).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            "embedding", lambda x: (x * F.lit(1.5)).cast("float")
-        ).alias("embedding"),
-    )
+        "vec_id",
+        F.transform("embedding", _perturb).alias("embedding"),
+    ).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     return emb.unionByName(pert)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (LSH-blocked), threshold 0.8."""
+    """Embedding-cosine near-dup pairs (banded LSH blocking), ≥ 0.8."""
     from .pipeline.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _emb_with_neardups(spark, sf_dir), threshold=0.8, n_planes=8
+        _emb_with_neardups(spark, sf_dir), threshold=0.8,
+        n_planes=16, n_bands=4,
     )
 
 
@@ -1123,7 +1139,11 @@ emb_aug AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 100000 AS vec_id,
-         list_transform(embedding, x -> CAST(x * 1.5 AS REAL)) AS embedding
+         list_transform(range(0, len(embedding)), i -> CAST(
+           embedding[i + 1] * (1 + 0.03 * (CASE WHEN CAST(('0x' || substr(
+             md5(vec_id::VARCHAR || ':' || i::VARCHAR), 1, 2))
+             AS INTEGER) % 2 = 0 THEN 1.0 ELSE -1.0 END)) AS REAL))
+         AS embedding
   FROM embeddings WHERE vec_id < 5
 )
 """
@@ -1135,7 +1155,7 @@ WITH {_EMB_AUG_SQL}, planes AS (
                 md5(p.range::VARCHAR || ':' || d.range::VARCHAR), 1, 2))
               AS INTEGER) % 2 = 0
          THEN 1.0 ELSE -1.0 END AS coef
-  FROM range(8) p, range(64) d
+  FROM range(16) p, range(64) d
 ),
 exploded AS (
   SELECT vec_id, unnest(embedding)::DOUBLE AS x,
@@ -1153,9 +1173,14 @@ buckets AS (
                   ELSE 0 END) AS BIGINT) AS bucket
   FROM proj GROUP BY vec_id
 ),
+bands AS (
+  SELECT vec_id, b.range AS band,
+         (bucket >> (b.range * 4)) & 15 AS bb
+  FROM buckets, range(4) b
+),
 pairs AS (
-  SELECT x.vec_id AS a, y.vec_id AS b
-  FROM buckets x JOIN buckets y ON x.bucket = y.bucket
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bb = y.bb
   WHERE x.vec_id < y.vec_id
 ),
 elems AS (
