@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "ann_cosine",
     "ann_ivf",
     "sessionize",
+    "ft_raw_bool",
+    "ft_raw_wildcard",
     "ft_blockmax_topk",
     "ft_segmented_term_bm25",
     "minhash_signatures",

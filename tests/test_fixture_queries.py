@@ -234,14 +234,62 @@ def test_raw_leading_minus_still_negates(index):
 @pytest.mark.parametrize("bad", [
     "(document",          # unbalanced open paren
     "document)",          # unbalanced close paren
-    "docu*",              # wildcard unsupported
     "document^",          # boost without a number
     "document ^2",        # free-standing boost operator
     "()",                 # empty group
+    "test_text:(a",       # unbalanced field group
 ])
 def test_raw_pinned_syntax_errors(index, bad):
     with pytest.raises(QueryError, match=r"Syntax Error"):
         run(index, {"query": {"raw": bad}})
+
+
+def test_raw_wildcard_star(index):
+    # ducki* expands via the regex automaton (ducki.* whole-term match)
+    r = run(index, {"query": {"raw": "ducki*"}, "limit": 10})
+    assert [d.doc["test_text"] for d in r.docs] == ["Test Duckiment 3"]
+    assert r.docs[0].score == 1.0  # automaton queries const-score
+
+
+def test_raw_wildcard_question(index):
+    # ? is exactly one character: d?cument hits 'document' only
+    # ('dockument' has two chars between d and cument)
+    r = run(index, {"query": {"raw": "d?cument"}, "limit": 10})
+    assert sorted(d.doc["test_text"] for d in r.docs) == [
+        "Test Document 1", "Test Document 4", "Test Document 5"]
+    # do?kument covers the k-variant
+    r2 = run(index, {"query": {"raw": "do?kument"}, "limit": 10})
+    assert [d.doc["test_text"] for d in r2.docs] == ["Test Dockument 2"]
+
+
+def test_raw_bare_star_is_match_all(index):
+    r = run(index, {"query": {"raw": "*"}, "limit": 10})
+    assert r.hits == 5
+    assert all(d.score == 1.0 for d in r.docs)
+
+
+def test_raw_fuzzy_default_and_explicit_distance(index):
+    # dockument~1: within one edit → document + dockument
+    r1 = run(index, {"query": {"raw": "dockument~1"}, "limit": 10})
+    assert sorted(d.doc["test_text"] for d in r1.docs) == [
+        "Test Dockument 2", "Test Document 1", "Test Document 4",
+        "Test Document 5"]
+    # duckiment~ (Lucene default distance 2) → duckiment + dockument
+    r2 = run(index, {"query": {"raw": "duckiment~"}, "limit": 10})
+    assert sorted(d.doc["test_text"] for d in r2.docs) == [
+        "Test Dockument 2", "Test Duckiment 3"]
+
+
+def test_raw_field_grouping(index):
+    # f:(a b): bare terms inside the group default to f
+    r = run(index, {"query": {"raw": "test_text:(duckiment dockument)"},
+                    "limit": 10})
+    assert sorted(d.doc["test_text"] for d in r.docs) == [
+        "Test Dockument 2", "Test Duckiment 3"]
+    # grouped + boolean + boost compose
+    r2 = run(index, {"query": {"raw": "test_text:(document AND 4)^2"},
+                     "limit": 10})
+    assert [d.doc["test_text"] for d in r2.docs] == ["Test Document 4"]
 
 
 def test_all_docs_when_query_missing(index):  # search.rs:17 substitution

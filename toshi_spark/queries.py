@@ -1234,3 +1234,158 @@ def q_segmented_term_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["ft_segmented_term_bm25"] = ORACLES["ft_term_bm25"]
 QUERIES["ft_segmented_term_bm25"] = q_segmented_term_bm25
+
+
+def q_raw_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw query-string path (Tantivy QueryParser surface,
+    toshi-server/src/handle.rs:115-119): grouping + boost + AND
+    promotion + Lucene range syntax in one string.  Scores: must =
+    group BM25(tf=1) with the boosted clause doubled, plus the range
+    clause's constant 1.0."""
+    ix = get_index(spark, sf_dir)
+    df = ix.search_df(parse_search({
+        "query": {"raw":
+                  "(text:spark^2 OR text:fast) AND n_chars:[100 TO 200]"},
+        "limit": 20,
+    }))
+    return df.select("doc_id", _r4())
+
+
+def q_raw_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw wildcards lower onto the regex automaton (?→. , *→.*);
+    OR of two wildcard clauses sums the constant scores."""
+    ix = get_index(spark, sf_dir)
+    df = ix.search_df(parse_search({
+        "query": {"raw": "text:s?ark OR text:wind*"},
+        "limit": 10000,
+    }))
+    return df.select("doc_id", _r4())
+
+
+def q_raw_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ``term~N`` lowers onto the Damerau-Levenshtein fuzzy
+    automaton (const score)."""
+    ix = get_index(spark, sf_dir)
+    df = ix.search_df(parse_search({
+        "query": {"raw": "text:spark~1"},
+        "limit": 10000,
+    }))
+    return df.select("doc_id", _r4())
+
+
+ORACLES["ft_raw_bool"] = f"""
+WITH {_TOKS}
+, g AS (
+  SELECT p.doc_id,
+         sum((CASE WHEN p.tok = 'spark' THEN 2.0 ELSE 1.0 END) *
+             {_BM25.format(tf="1.0")}) AS gscore
+  FROM post p JOIN dfs d USING (tok) JOIN doclens l USING (doc_id), stats s
+  WHERE p.tok IN ('spark', 'fast')
+  GROUP BY p.doc_id
+)
+SELECT g.doc_id, round(g.gscore + 1.0, 4) AS score
+FROM g JOIN documents doc USING (doc_id)
+WHERE doc.n_chars BETWEEN 100 AND 200
+ORDER BY (g.gscore + 1.0) DESC, g.doc_id ASC LIMIT 20
+"""
+
+ORACLES["ft_raw_wildcard"] = f"""
+WITH {_TOKS}
+, m1 AS (SELECT DISTINCT doc_id FROM post
+         WHERE regexp_full_match(tok, 's.ark')),
+m2 AS (SELECT DISTINCT doc_id FROM post
+       WHERE regexp_full_match(tok, 'wind.*')),
+u AS (
+  SELECT doc_id, 1.0 AS s FROM m1
+  UNION ALL
+  SELECT doc_id, 1.0 AS s FROM m2
+)
+SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score FROM u GROUP BY doc_id
+"""
+
+ORACLES["ft_raw_fuzzy"] = f"""
+WITH {_TOKS}
+, expanded AS (
+  SELECT tok FROM dfs WHERE damerau_levenshtein(tok, 'spark') <= 1
+)
+SELECT DISTINCT p.doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM post p JOIN expanded e USING (tok)
+"""
+
+QUERIES["ft_raw_bool"] = q_raw_bool
+QUERIES["ft_raw_wildcard"] = q_raw_wildcard
+QUERIES["ft_raw_fuzzy"] = q_raw_fuzzy
+
+
+def q_delete_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutation-lifecycle gate (handle.rs:184-210 + staged-tombstone
+    semantics): catalog create → chunked durable ingest → delete by
+    term (staged) → flush (the commit point promotes tombstones) →
+    reopen → BM25 top-k over the post-delete view.
+
+    Matches Tantivy's deferred-delete visibility: readers only see the
+    delete after commit, and corpus stats (df / avgdl / N) keep the
+    deleted docs until a merge folds the tombstones in — the oracle
+    recomputes exactly that (global stats, matched docs filtered).
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .index.catalog import IndexCatalog
+    from .index.segments import SEGMENT_FORMAT_VERSION
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"toshi_spark_cat_{tag}")
+    name = "docs_del"
+    marker = os.path.join(base, name, "_delete_vis_ready")
+    stamp = f"fmt{SEGMENT_FORMAT_VERSION}:v1"
+    cat = IndexCatalog(spark, base)
+    if not (os.path.exists(marker) and open(marker).read() == stamp):
+        cat.delete_index(name)  # stale/partial setup from a prior run
+        cat.create_index(name, [
+            {"name": "text", "ftype": "text", "stored": False,
+             "indexed": True},
+        ], merge_policy={"kind": "none"})
+        cat.ingest(
+            name, load_documents(spark, sf_dir).select("doc_id", "text"),
+            n_chunks=2, fingerprint=sf_dir,
+        )
+        n = cat.delete_term(name, {"text": "spark"})
+        assert n > 0, "delete must match docs for the gate to be real"
+        cat.flush(name)  # commit: pending tombstones become visible
+        with open(marker, "w") as f:
+            f.write(stamp)
+    ix = cat.open(name)
+    cols = ["field", "term", "doc_id", "tf"]
+    if "doc_len" in ix.postings.columns:
+        cols.append("doc_len")
+    matched = ix.postings.filter(
+        (F.col("field") == "text") & (F.col("term") == "data")
+    ).select(*cols)
+    scored = bm25_score(
+        matched, ix.doclens, ix.termstats, ix.n_docs, ix.fieldstats,
+        tf_mode="full", unique_doc_terms=True,
+    )
+    return topk(scored, 20).select("doc_id", _r4())
+
+
+# deferred-delete scoring: stats stay index-wide (deleted docs still
+# count toward N / df / avgdl until merge), only the MATCHED set is
+# filtered — mirroring Tantivy's alive-bitset reader
+ORACLES["ft_delete_visibility"] = f"""
+WITH {_TOKS}
+, deleted AS (SELECT DISTINCT doc_id FROM toks WHERE tok = 'spark'),
+scored AS (
+  SELECT p.doc_id, sum({_BM25.format(tf="p.tf")}) AS raw_score
+  FROM post p JOIN dfs d USING (tok) JOIN doclens l USING (doc_id), stats s
+  WHERE p.tok = 'data'
+    AND p.doc_id NOT IN (SELECT doc_id FROM deleted)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT 20
+"""
+
+QUERIES["ft_delete_visibility"] = q_delete_visibility

@@ -20,17 +20,24 @@ The reference passes ``{"raw": "..."}`` straight to Tantivy's
 Supported grammar::
 
     query   := clause ((AND|OR)? clause)*
-    clause  := [+|-|NOT] primary ['^' NUMBER]
+    clause  := [+|-|NOT] primary ['~' DIGIT?] ['^' NUMBER]
     primary := '(' query ')'
+             | field ':' '(' query ')'        (field grouping: the
+               group's bare terms default to that field)
              | [field ':'] (TERM | '"' TERM* '"' | '[' lo TO hi ']')
     TERM    := analyzer tokens (intra-word '-' and '.' stay in the
                term text and are split by the analyzer — '-' is the
-               MustNot operator only at clause start)
+               MustNot operator only at clause start); a term
+               containing ``*`` / ``?`` compiles as a WILDCARD via the
+               regex automaton (``*``→``.*``, ``?``→``.``; a bare
+               ``*`` is match-all); ``term~`` / ``term~N`` compiles as
+               a Damerau-Levenshtein fuzzy term (Lucene default N=2)
 
 ``clause^boost`` wraps the clause in a BoostQuery (score multiplier),
-matching Tantivy's QueryParser.  Still-unsupported Lucene syntax
-(wildcards ``*``/``?``, fuzzy ``~``, field-grouping ``f:(a b)``)
-raises the pinned Syntax Error.
+matching Tantivy's QueryParser.  Wildcard / fuzzy / field-grouping go
+BEYOND the reference's parser surface (Tantivy's QueryParser rejects
+them) — they lower onto the engine's existing regex/fuzzy automatons,
+closing the most-hit gap for Lucene-syntax users.
 """
 
 from __future__ import annotations
@@ -39,17 +46,28 @@ import re
 
 from ..analyzer import terms_for
 from ..schema import IndexSchema, QueryError
-from .dsl import BoolQuery, BoostQuery, ExactTerm, PhraseQuery, Query, RangeQuery
+from .dsl import (
+    AllQuery,
+    BoolQuery,
+    BoostQuery,
+    ExactTerm,
+    FuzzyQuery,
+    PhraseQuery,
+    Query,
+    RangeQuery,
+    RegexQuery,
+)
 
 _RANGE_RE = re.compile(
     r"""(?P<lb>[\[{])\s*(?P<lo>\*|-?\d+)\s+TO\s+(?P<hi>\*|-?\d+)\s*(?P<rb>[\]}])"""
 )
 
 _BOOST_RE = re.compile(r"\^(?P<boost>\d+(?:\.\d+)?)")
+_FUZZY_RE = re.compile(r"~(?P<d>\d)?")
 
 # term text may contain intra-word '-' and '.' (the analyzer splits
 # them); it may not START with '-' so the MustNot operator still
-# tokenizes at clause start
+# tokenizes at clause start; '*' / '?' mark wildcard terms
 _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<and>AND\b)
@@ -61,7 +79,7 @@ _TOKEN_RE = re.compile(
       | (?P<minus>-)
       | (?P<field>[\w][\w.]*)\s*:
       | (?P<quoted>"[^"]*")
-      | (?P<term>[\w][\w.\-]*)
+      | (?P<term>[\w*?][\w.\-*?]*)
     )""",
     re.VERBOSE | re.UNICODE,
 )
@@ -73,6 +91,9 @@ class _Parser:
         self.schema = schema
         self.pos = 0
         self.n = len(raw)
+        # default-field stack: field grouping `f:(a b)` pins the
+        # group's bare terms to f instead of all indexed text fields
+        self.field_stack: list[list[str]] = []
 
     def err(self) -> QueryError:
         return QueryError(f"Syntax Error: {self.raw}")
@@ -147,14 +168,17 @@ class _Parser:
             allow_nested=True,
         )
 
+    def _group(self, depth: int) -> Query:
+        sub = self.parse_query(depth + 1)
+        self._skip_ws()
+        if self.pos >= self.n or self.raw[self.pos] != ")":
+            raise self.err()
+        self.pos += 1
+        return sub
+
     def _parse_primary(self, m: re.Match, depth: int) -> Query | None:
         if m.group("lparen"):
-            sub = self.parse_query(depth + 1)
-            self._skip_ws()
-            if self.pos >= self.n or self.raw[self.pos] != ")":
-                raise self.err()
-            self.pos += 1
-            return sub
+            return self._group(depth)
 
         field_name: str | None = None
         if m.group("field"):
@@ -165,6 +189,15 @@ class _Parser:
                 self.pos = mr.end()
                 return self._range_query(field_name, mr)
             m2 = self.next_token()
+            if m2.group("lparen"):
+                # field grouping f:(a b): bare terms inside the group
+                # default to f (Lucene QueryParser semantics)
+                self._check_fields([field_name])
+                self.field_stack.append([field_name])
+                try:
+                    return self._group(depth)
+                finally:
+                    self.field_stack.pop()
             if not (m2.group("quoted") or m2.group("term")):
                 raise self.err()
             value, quoted = (
@@ -179,16 +212,53 @@ class _Parser:
                 else (m.group("term"), False)
             )
 
-        fields = [field_name] if field_name else [
-            f.name for f in self.schema.fields if f.ftype == "text" and f.indexed
-        ]
+        if field_name:
+            fields = [field_name]
+        elif self.field_stack:
+            fields = self.field_stack[-1]
+        else:
+            fields = [
+                f.name for f in self.schema.fields
+                if f.ftype == "text" and f.indexed
+            ]
+        self._check_fields(fields)
+
+        # fuzzy suffix: term~ / term~N (Damerau-Levenshtein, Lucene
+        # default max edits 2; not analyzed — lowercased only, like
+        # Lucene's wildcard/fuzzy term handling)
+        mf = _FUZZY_RE.match(self.raw, self.pos)
+        if mf and not quoted:
+            self.pos = mf.end()
+            dist = int(mf.group("d")) if mf.group("d") else 2
+            per = [
+                FuzzyQuery(f, value.lower(), distance=dist,
+                           transposition=True)
+                for f in fields
+            ]
+            return per[0] if len(per) == 1 else BoolQuery(
+                should=per, allow_nested=True
+            )
+
+        if not quoted and ("*" in value or "?" in value):
+            if value == "*":
+                return AllQuery()  # bare * matches all documents
+            pattern = _wildcard_regex(value.lower())
+            per = [RegexQuery(f, pattern) for f in fields]
+            return per[0] if len(per) == 1 else BoolQuery(
+                should=per, allow_nested=True
+            )
+
+        return _value_query(self.schema, fields, value, quoted)
+
+    def _check_fields(self, fields: list[str]) -> None:
         for f in fields:
             spec = self.schema.get(f)
             if spec is None:
                 raise QueryError(f"Unknown field: {f}")
             if not spec.indexed:
-                raise QueryError(f"The field '{f}' is not declared as indexed")
-        return _value_query(self.schema, fields, value, quoted)
+                raise QueryError(
+                    f"The field '{f}' is not declared as indexed"
+                )
 
     def _range_query(self, field_name: str, mr: re.Match) -> Query:
         spec = self.schema.get(field_name)
@@ -221,6 +291,20 @@ class _Parser:
         if sub is None:
             return None
         return BoostQuery(sub, float(mb.group("boost")))
+
+
+def _wildcard_regex(value: str) -> str:
+    """Lucene wildcard term → whole-term regex: ``*``→``.*``,
+    ``?``→``.``, everything else literal-escaped."""
+    out: list[str] = []
+    for ch in value:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
 
 
 def parse_raw(raw: str, schema: IndexSchema) -> Query:
