@@ -152,8 +152,8 @@ def rh_signatures(
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 16,
-    n_bands: int = 4,
+    n_planes: int = 48,
+    n_bands: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int = 100_000,
@@ -162,30 +162,40 @@ def embedding_neardup_pairs(
 
     All-pairs cosine is O(n²) scans at 100 TB; random-hyperplane
     buckets make it an equi-join (same shape as MinHash-LSH for text).
-    A single AND of all n_planes bits has hopeless recall — at
-    cos=0.95 a true pair agrees on one bit w.p. 1−θ/π ≈ 0.899, so 16
-    bits collide w.p. 0.899^16 ≈ 0.18.  Banding ORs n_bands groups of
-    r = n_planes/n_bands bits (exactly the MinHash-LSH construction in
-    dedup.lsh_candidate_pairs): collide w.p. 1−(1−0.899⁴)⁴ ≈ 0.986 at
-    cos=0.95.  Only same-(band, sub-bucket) pairs get an exact cosine,
-    then filter ≥ threshold; buckets above ``max_bucket_size`` are
-    dropped (boilerplate skew guard).  Returns (a, b, cos_sim).
+    A single AND of all bits has hopeless recall — at cos=0.95 a true
+    pair agrees on one bit w.p. 1−θ/π ≈ 0.899, so 16 bits collide w.p.
+    0.899^16 ≈ 0.18.  Banding ORs n_bands groups of r = n_planes/n_bands
+    bits (exactly the MinHash-LSH construction in
+    dedup.lsh_candidate_pairs): with the default 6 bands × 8 bits,
+    a cos=0.95 pair collides w.p. 1−(1−0.899⁸)⁶ ≈ 0.96 while a RANDOM
+    pair collides w.p. ≈ 6/2⁸ ≈ 2% — the band width r is the
+    precision dial (r=4 would make every 16th random pair a candidate
+    and the verify join quadratic-ish; r=8 keeps candidates ~linear).
+    Only same-(band, sub-bucket) pairs get an exact cosine, then filter
+    ≥ threshold; buckets above ``max_bucket_size`` are dropped
+    (boilerplate skew guard).  Returns (a, b, cos_sim).
     """
     if n_planes % n_bands:
         raise ValueError("n_planes must be divisible by n_bands")
     r = n_planes // n_bands
     mask = (1 << r) - 1
     sigs = rh_signatures(emb, n_planes, id_col, vec_col)
-    banded = None
-    for band in range(n_bands):
-        part = sigs.select(
-            "vec_id",
+    # One explode, not a union of n_bands selects — a union re-evaluates
+    # the signature kernel (a full corpus scan) once per band.
+    band_structs = F.array(*[
+        F.struct(
             F.lit(band).alias("band"),
             F.shiftright(F.col("bucket"), band * r).bitwiseAND(
                 F.lit(mask).cast("long")
             ).alias("bb"),
         )
-        banded = part if banded is None else banded.unionByName(part)
+        for band in range(n_bands)
+    ])
+    banded = (
+        sigs.select("vec_id", F.explode(band_structs).alias("x"))
+        .select("vec_id", F.col("x.band").alias("band"),
+                F.col("x.bb").alias("bb"))
+    )
     from pyspark.sql.window import Window
 
     sized = banded.withColumn(

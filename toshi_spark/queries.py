@@ -1130,7 +1130,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return embedding_neardup_pairs(
         _emb_with_neardups(spark, sf_dir), threshold=0.8,
-        n_planes=16, n_bands=4,
+        n_planes=48, n_bands=6,
     )
 
 
@@ -1155,7 +1155,7 @@ WITH {_EMB_AUG_SQL}, planes AS (
                 md5(p.range::VARCHAR || ':' || d.range::VARCHAR), 1, 2))
               AS INTEGER) % 2 = 0
          THEN 1.0 ELSE -1.0 END AS coef
-  FROM range(16) p, range(64) d
+  FROM range(48) p, range(64) d
 ),
 exploded AS (
   SELECT vec_id, unnest(embedding)::DOUBLE AS x,
@@ -1175,8 +1175,8 @@ buckets AS (
 ),
 bands AS (
   SELECT vec_id, b.range AS band,
-         (bucket >> (b.range * 4)) & 15 AS bb
-  FROM buckets, range(4) b
+         (bucket >> (b.range * 8)) & 255 AS bb
+  FROM buckets, range(6) b
 ),
 pairs AS (
   SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
