@@ -1,0 +1,121 @@
+"""Round-3 additions: HTML→text extraction + native BMP decode."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from toshi_spark.pipeline.multimodal import (
+    attach_bmp,
+    decode_bmp,
+    decode_image,
+    decode_images,
+    encode_bmp,
+)
+from toshi_spark.pipeline.webtext import extract_text
+
+
+# --- BMP codec (pure numpy, no Spark) -----------------------------------
+
+@pytest.mark.parametrize("w,h", [(1, 1), (4, 2), (5, 3), (6, 4), (7, 5)])
+def test_bmp_roundtrip(w, h):
+    # widths 5 and 7 force non-trivial row padding (stride % 4)
+    rng = np.random.default_rng(w * 100 + h)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    data = encode_bmp(px)
+    assert data[:2] == b"BM"
+    out = decode_bmp(data)
+    assert out.shape == (h, w, 3)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_bmp_decode_layout_details():
+    # pixel values chosen so row order and channel order are distinct
+    px = np.array(
+        [[[1, 2, 3], [4, 5, 6]],
+         [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8
+    )
+    data = encode_bmp(px)
+    # header: 24 bpp, uncompressed, positive (bottom-up) height
+    assert data[28] == 24
+    assert int.from_bytes(data[30:34], "little") == 0
+    # first stored row is the BOTTOM image row, channels BGR
+    offset = int.from_bytes(data[10:14], "little")
+    assert list(data[offset:offset + 3]) == [9, 8, 7]
+    out = decode_bmp(data)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_decode_image_dispatches_bmp():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    out = decode_image(encode_bmp(px))
+    np.testing.assert_array_equal(out, px)
+
+
+def test_decode_rejects_non_bmp_without_codec():
+    with pytest.raises((NotImplementedError, ValueError)):
+        decode_image(b"\x89PNG\r\n\x1a\nnot-a-real-png")
+
+
+# --- Spark decode pipeline ----------------------------------------------
+
+def test_decode_images_matches_generator(spark):
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    out = decode_images(attach_bmp(docs)).orderBy("doc_id").collect()
+    assert len(out) == 8
+    for row in out:
+        d = row["doc_id"]
+        assert (row["width"], row["height"]) == (6, 4)
+        # top-left pixel (r=0, c=0) — order-sensitive
+        assert row["px00_r"] == (d * 7) % 256
+        assert row["px00_g"] == (d * 13) % 256
+        assert row["px00_b"] == (d * 31) % 256
+        exp_r = sum((d * 7 + r * 16 + c) % 256
+                    for r in range(4) for c in range(6))
+        assert row["sum_r"] == exp_r
+
+
+# --- HTML extraction -----------------------------------------------------
+
+def _extract_one(spark, html: str) -> str:
+    df = spark.createDataFrame([(html,)], "html string")
+    return extract_text(df, "html", "text").head()["text"]
+
+
+def test_extract_strips_tags_and_blocks(spark):
+    html = (
+        "<html><head><style>body { x: 1 }</style>"
+        "<script>if (1 < 2) { alert(1); }</script></head>"
+        "<body><h1>Title</h1><p>hello   <b>world</b></p></body></html>"
+    )
+    assert _extract_one(spark, html) == "Title hello world"
+
+
+def test_extract_decodes_entities_single_pass(spark):
+    # &amp;lt; must decode to the LITERAL text "&lt;", not "<"
+    html = "<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39; &amp;lt; &nbsp;e</p>"
+    assert _extract_one(spark, html) == 'a <b> "c" \'d\' &lt; e'
+
+
+def test_extract_binary_input(spark):
+    df = spark.createDataFrame([("<p>x</p>",)], "s string").select(
+        F.encode("s", "utf-8").alias("html")
+    )
+    assert extract_text(df, "html", "text").head()["text"] == "x"
+
+
+def test_extract_webtext_fixture_byte_identical(spark):
+    """North-star invariant: extraction over the synthetic crawl table
+    reproduces the text column byte-for-byte up to whitespace collapse
+    (the extractor normalizes whitespace runs; the analyzer splits on
+    whitespace, so analyzer output — what the index sees — is
+    byte-identical, asserted below via the tokenizer)."""
+    from toshi_spark.analyzer import tokenize
+    from toshi_spark.fixtures import synth_webtext
+
+    pages = synth_webtext(spark, 50, seed=7)
+    out = extract_text(pages, "html", "extracted")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    assert out.filter(F.col("extracted") != norm).count() == 0
+    # analyzer-level byte identity: token streams match exactly
+    for row in out.select("extracted", "text").collect():
+        assert tokenize(row["extracted"]) == tokenize(row["text"])

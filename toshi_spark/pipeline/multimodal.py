@@ -6,11 +6,13 @@ Arrow-batched kernels over ``mapInPandas`` so each batch moves as one
 Arrow buffer (binary columns are the case where Arrow batching matters
 most — no per-row serialization of megabyte payloads).
 
-The actual codec step is STUBBED: the image/audio libraries are not in
-this container, so ``decode_image`` raises ``NotImplementedError``
-unless PIL is importable, and the tested path uses a deterministic
-byte-level feature extractor.  The Spark-side plumbing — schema,
-batching, partition sizing — is real.
+Image decode is REAL for 24-bit uncompressed BMP — a pure-numpy codec
+(``encode_bmp``/``decode_bmp``) parses the actual file format, no
+external library needed; other formats fall back to PIL when present.
+Audio/video codecs are not in this container, so those paths use
+deterministic byte-level stand-ins (resize subsampling, fixed-size
+frame windows) with the real Spark-side plumbing — schema, Arrow
+batching, flatMap cardinality.
 """
 
 from __future__ import annotations
@@ -42,17 +44,89 @@ def attach_binary(docs: DataFrame, id_col: str = "doc_id",
 
 
 def decode_image(payload: bytes):
-    """Real decode — gated on the codec library being present."""
+    """Decode an image payload to an (h, w, 3) RGB uint8 array.
+
+    24-bit uncompressed BMP decodes natively (``decode_bmp``, pure
+    numpy — no codec library needed).  Other formats fall back to PIL
+    when present; absent that, NotImplementedError.
+    """
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
         import io
 
-        return Image.open(io.BytesIO(payload))
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as e:
         raise NotImplementedError(
-            "image codec not available in this environment; "
-            "use extract_features (deterministic byte-level path)"
+            "non-BMP image codec not available in this environment; "
+            "use 24-bit BMP (decode_bmp) or the deterministic "
+            "byte-level path (extract_features)"
         ) from e
+
+
+# --- Native BMP codec (pure numpy) -------------------------------------
+#
+# 24-bit uncompressed BMP is fully specified public knowledge:
+# 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER (little-endian),
+# pixel rows stored bottom-up as BGR triples, each row padded to a
+# 4-byte boundary.  Implementing it here gives the multimodal pipeline
+# a REAL decode stage with zero external dependencies — the decode
+# kernel genuinely parses bytes (header fields, row stride, vertical
+# flip, channel order), unlike the byte-histogram stand-in.
+
+_BMP_HEADER_SIZE = 14 + 40
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 array → 24-bit uncompressed BMP bytes."""
+    import struct
+
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up row order, RGB→BGR channel order
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_HEADER_SIZE + img_size, 0, 0,
+        _BMP_HEADER_SIZE,
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    return file_header + info_header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) RGB uint8 array.
+
+    Honors the pixel-data offset from the file header, row stride
+    padding, bottom-up vs top-down (negative height) row order, and
+    BGR channel order.
+    """
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    offset = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                         offset=offset).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR→RGB
 
 
 def _byte_features(payload: bytes) -> np.ndarray:
@@ -164,4 +238,103 @@ def frame_sample(binary_df: DataFrame, frame_bytes: int = 32,
 
     return binary_df.select("doc_id", "payload").mapInPandas(
         _frames, FRAME_SCHEMA
+    )
+
+
+# --- Real decode pipeline over synthetic BMPs ---------------------------
+
+BMP_W, BMP_H = 6, 4
+
+
+def attach_bmp(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-format image column: one 6×4 24-bit BMP per
+    doc, pixel (r, c) channels a linear-congruence gradient of doc_id:
+
+        R = (doc_id·7  + r·16 + c)    mod 256
+        G = (doc_id·13 + r    + c·16) mod 256
+        B = (doc_id·31 + r·3  + c·5)  mod 256
+
+    Gradient (not solid) so a decoder that misorders rows (bottom-up
+    flip), misreads the stride padding (w=6 → 18-byte rows padded to
+    20) or swaps channels produces different per-pixel values; the
+    oracle recomputes the same arithmetic in SQL.
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r_idx, c_idx = np.meshgrid(
+            np.arange(BMP_H, dtype=np.int64),
+            np.arange(BMP_W, dtype=np.int64),
+            indexing="ij",
+        )
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                px = np.stack(
+                    [
+                        (d * 7 + r_idx * 16 + c_idx) % 256,
+                        (d * 13 + r_idx + c_idx * 16) % 256,
+                        (d * 31 + r_idx * 3 + c_idx * 5) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        _gen, "doc_id long, payload binary"
+    )
+
+
+DECODE_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "px00_r int, px00_g int, px00_b int, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def decode_images(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas REAL image decode: parse each BMP payload
+    (``decode_bmp``) and emit dimensions, the top-left pixel
+    (order-sensitive — catches bottom-up/stride bugs) and exact
+    integer per-channel sums (no float comparison slop)."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "width", "height",
+                "px00_r", "px00_g", "px00_b",
+                "sum_r", "sum_g", "sum_b",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                for i, ch in enumerate("rgb"):
+                    out[f"px00_{ch}"].append(int(px[0, 0, i]))
+                    out[f"sum_{ch}"].append(
+                        int(px[:, :, i].astype(np.int64).sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    **{
+                        f"px00_{c}": pd.Series(out[f"px00_{c}"],
+                                               dtype="int32")
+                        for c in "rgb"
+                    },
+                    **{
+                        f"sum_{c}": pd.Series(out[f"sum_{c}"],
+                                              dtype="int64")
+                        for c in "rgb"
+                    },
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _dec, DECODE_SCHEMA
     )

@@ -1,0 +1,87 @@
+"""HTML → text extraction for Common-Crawl-style web pages.
+
+The input table (BASELINE.json input_hint) carries raw page bytes in
+``html: binary`` alongside ``text: string``; a real ingest pipeline
+derives the latter from the former.  This module is that stage,
+expressed entirely in JVM-side column algebra (``regexp_replace`` /
+``replace`` — whole-stage codegen, no Python in the hot path), so at
+100 TB the extraction runs inside the scan stage with zero shuffle:
+
+1. drop <script>/<style> blocks wholesale (their bodies are not text),
+2. strip remaining tags,
+3. decode the common named entities (&amp; last, single pass — the
+   standard non-recursive decode, so "&amp;lt;" → "&lt;" stays inert),
+4. collapse whitespace runs and trim.
+
+The regexes are shared verbatim with the DuckDB oracle (both engines'
+regex dialects — java.util.regex and RE2 — agree on this subset: inline
+(?is) flags, lazy quantifiers, character classes; backreferences are
+deliberately avoided because RE2 lacks them).
+
+Reference parity: the reference engine indexes pre-extracted text
+(document fields arrive as JSON strings, toshi-server/src/handle.rs:
+137-156); this stage reproduces the upstream extraction so the engine
+can ingest raw crawl bytes directly.  On the synthetic webtext fixture
+(fixtures.synth_webtext) extraction is byte-identical to the ``text``
+column — the north-star invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# script/style blocks: lazy body match, no backreference (RE2-safe)
+BLOCK_RE = r"(?is)<(?:script|style)\b[^>]*>.*?</(?:script|style)\s*>"
+# any remaining tag (comments/doctype included via the leading chars)
+TAG_RE = r"(?s)<[^>]*>"
+WS_RE = r"\s+"
+
+# named entities, &amp; decoded LAST (single-pass, non-recursive)
+ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def extract_text_col(html: Column) -> Column:
+    """Column expression: HTML string → extracted plain text."""
+    txt = F.regexp_replace(html, BLOCK_RE, " ")
+    txt = F.regexp_replace(txt, TAG_RE, " ")
+    for ent, ch in ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    txt = F.regexp_replace(txt, WS_RE, " ")
+    return F.trim(txt)
+
+
+def extract_text(
+    pages: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+) -> DataFrame:
+    """Add ``out_col`` with the text extracted from ``html_col``.
+
+    ``html_col`` may be binary (raw crawl bytes, decoded as UTF-8) or
+    string.  Everything stays inside whole-stage codegen — at crawl
+    scale this is a map-only stage fused into the source scan.
+    """
+    col = F.col(html_col)
+    if dict(pages.dtypes).get(html_col) == "binary":
+        col = F.decode(col, "utf-8")
+    return pages.withColumn(out_col, extract_text_col(col))
+
+
+def oracle_extract_sql(html_expr: str) -> str:
+    """The same extraction as a DuckDB scalar expression (shared
+    regexes; RE2 needs the 'g' option for global replace)."""
+    expr = f"regexp_replace({html_expr}, '{BLOCK_RE}', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '{TAG_RE}', ' ', 'g')"
+    for ent, ch in ENTITIES:
+        lit = ch.replace("'", "''")
+        expr = f"replace({expr}, '{ent.replace(chr(39), chr(39)*2)}', '{lit}')"
+    expr = f"regexp_replace({expr}, '{WS_RE}', ' ', 'g')"
+    return f"trim({expr})"

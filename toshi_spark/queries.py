@@ -1389,3 +1389,101 @@ FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT 20
 """
 
 QUERIES["ft_delete_visibility"] = q_delete_visibility
+
+
+# --- HTML → text extraction (webtext ingest stage) ----------------------
+#
+# The input-table shape (BASELINE.json input_hint) carries raw page
+# bytes; this query wraps each document's text in a realistic page
+# (doctype, style + script blocks whose bodies must be DROPPED, nested
+# tags, named/numeric entities) and runs the extraction stage.  The
+# oracle applies the SAME shared regexes in DuckDB, so tag stripping,
+# entity decode order (&amp; last) and whitespace collapse are all
+# value-checked.  No single quotes in the wrapper — it is embedded in
+# a SQL literal verbatim.
+
+_HTML_PREFIX = (
+    '<!DOCTYPE html><html><head><title>t</title>'
+    '<style type="text/css">p { color: #fff; }</style>'
+    '<script>var x = 1 < 2 && 2 > 1;</script></head>'
+    '<body><h1>&quot;Header&quot; &amp; intro</h1><p class="body">'
+)
+_HTML_SUFFIX = (
+    '</p><br/><p>tail &lt;EOF&gt;&nbsp;&#39;end&#39;</p></body></html>'
+)
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webtext extraction: page HTML → plain text (codegen-only)."""
+    from .pipeline.webtext import extract_text
+
+    docs = load_documents(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit(_HTML_PREFIX), F.col("text"),
+                     F.lit(_HTML_SUFFIX)),
+            "utf-8",
+        ).alias("html"),
+    )
+    out = extract_text(pages, html_col="html", out_col="extracted")
+    return out.select(
+        "doc_id",
+        "extracted",
+        F.length("extracted").cast("long").alias("n_chars"),
+    )
+
+
+def _extract_text_oracle() -> str:
+    from .pipeline.webtext import oracle_extract_sql
+
+    expr = oracle_extract_sql(
+        f"'{_HTML_PREFIX}' || text || '{_HTML_SUFFIX}'"
+    )
+    return f"""
+SELECT doc_id, extracted, CAST(length(extracted) AS BIGINT) AS n_chars
+FROM (SELECT doc_id, {expr} AS extracted FROM documents)
+"""
+
+
+ORACLES["extract_text"] = _extract_text_oracle()
+QUERIES["extract_text"] = q_extract_text
+
+
+# --- Real image decode (native BMP codec) -------------------------------
+#
+# attach_bmp synthesizes a REAL 24-bit BMP per doc (gradient pixels
+# keyed on doc_id); decode_images parses the actual file format —
+# headers, 4-byte row-stride padding (w=6 → 18-byte rows padded to
+# 20), bottom-up row order, BGR channel order.  The oracle recomputes
+# the pixel arithmetic analytically, so any decode-layout bug flips
+# px00_* (order-sensitive) or the exact integer channel sums.
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.multimodal import attach_bmp, decode_images
+
+    return decode_images(attach_bmp(load_documents(spark, sf_dir)))
+
+
+ORACLES["multimodal_decode"] = """
+WITH px AS (
+  SELECT d.doc_id, r.r, c.c,
+         (d.doc_id * 7  + r.r * 16 + c.c)      % 256 AS pr,
+         (d.doc_id * 13 + r.r      + c.c * 16) % 256 AS pg,
+         (d.doc_id * 31 + r.r * 3  + c.c * 5)  % 256 AS pb
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(4)) AS r) r
+  CROSS JOIN (SELECT unnest(range(6)) AS c) c
+)
+SELECT doc_id,
+  CAST(6 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+  CAST(max(CASE WHEN r = 0 AND c = 0 THEN pr END) AS INTEGER) AS px00_r,
+  CAST(max(CASE WHEN r = 0 AND c = 0 THEN pg END) AS INTEGER) AS px00_g,
+  CAST(max(CASE WHEN r = 0 AND c = 0 THEN pb END) AS INTEGER) AS px00_b,
+  CAST(sum(pr) AS BIGINT) AS sum_r,
+  CAST(sum(pg) AS BIGINT) AS sum_g,
+  CAST(sum(pb) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id
+"""
+QUERIES["multimodal_decode"] = q_multimodal_decode
