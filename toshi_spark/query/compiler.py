@@ -93,32 +93,53 @@ class Compiler:
         self.ctx.schema.require_indexed(q.field)
         offsets = q.offsets if q.offsets is not None else list(range(len(q.terms)))
         has_inline_len = "doc_len" in self.ctx.postings.columns
-        legs = []
-        for i, term in enumerate(q.terms):
-            cols = [F.col("doc_id"), F.col("positions").alias(f"pos_{i}")]
-            if i == 0 and has_inline_len:
-                # inline fieldnorm rides on the anchor leg: no doclens join
-                cols.append(F.col("doc_len"))
-            legs.append(self._postings_for_terms(q.field, [term]).select(*cols))
-        joined = reduce(lambda a, b: a.join(b, "doc_id"), legs)
+        # ONE pushed scan over the phrase's distinct terms + ONE shuffle
+        # (groupBy doc_id → term→positions map).  The previous plan
+        # joined P per-term legs on doc_id — P-1 shuffles of the same
+        # posting rows; at crawl scale the phrase cost IS those
+        # shuffles, so the single-aggregation shape is the 100 TB plan.
+        distinct_terms = list(dict.fromkeys(q.terms))
+        p = self._postings_for_terms(q.field, distinct_terms)
+        cols = ["doc_id", "term", "positions"]
+        aggs = [
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("pos"),
+            F.count("term").alias("n_present"),
+        ]
+        if has_inline_len:
+            # inline fieldnorm rides along: no doclens join
+            cols.append("doc_len")
+            aggs.append(F.first("doc_len").alias("doc_len"))
+        grouped = (
+            p.select(*cols)
+            .groupBy("doc_id")
+            .agg(*aggs)
+            .filter(F.col("n_present") == len(distinct_terms))
+        )
         # anchor on term 0: phrase matches at p iff term_i sits at
         # p - offsets[0] + offsets[i] for all i (Tantivy
         # PhraseQuery::new_with_offset semantics, phrase.rs:58-71)
-        deltas = [(i, offsets[i] - offsets[0]) for i in range(1, len(q.terms))]
+        deltas = [(q.terms[i], offsets[i] - offsets[0])
+                  for i in range(1, len(q.terms))]
 
-        def anchor_matches(p):
+        def anchor_matches(pp):
             cond = None
-            for i, d in deltas:
-                c = F.array_contains(F.col(f"pos_{i}"), p + F.lit(d))
+            for term_i, d in deltas:
+                c = F.array_contains(
+                    F.col("pos").getItem(term_i), pp + F.lit(d)
+                )
                 cond = c if cond is None else (cond & c)
             return cond
 
-        phrase_tf = F.size(F.filter(F.col("pos_0"), anchor_matches))
+        phrase_tf = F.size(
+            F.filter(F.col("pos").getItem(q.terms[0]), anchor_matches)
+        )
         keep = [F.lit(q.field).alias("field"), "doc_id", "tf"]
         if has_inline_len:
             keep.append("doc_len")
         matched = (
-            joined.withColumn("tf", phrase_tf)
+            grouped.withColumn("tf", phrase_tf)
             .filter(F.col("tf") > 0)
             .select(*keep)
         )
