@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "lang_id",
     "fingerprint",
     "simhash",
+    "extract_text",
+    "multimodal_decode",
 ]
 
 

@@ -322,10 +322,14 @@ class Compiler:
         if "doc_len" in p.columns:
             cols.append("doc_len")
         matched = p.select(*cols)
-        joined = matched.join(
-            self.ctx.termstats.select("field", "term", "df"),
-            ["field", "term"],
-        )
+        # clause-term slice of the dictionary: pushed term-IN scan,
+        # explicitly broadcast (constraint inference would usually get
+        # there, but at 100 TB a silently-shuffled dictionary join is
+        # the failure mode worth pinning)
+        ts = self.ctx.termstats.filter(
+            (F.col("field") == field) & F.col("term").isin(all_terms)
+        ).select("field", "term", "df")
+        joined = matched.join(F.broadcast(ts), ["field", "term"])
         if "doc_len" not in cols:
             joined = joined.join(self.ctx.doclens, ["field", "doc_id"])
         joined = (
