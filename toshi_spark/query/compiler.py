@@ -345,8 +345,13 @@ class Compiler:
         )
         agg = joined.groupBy("doc_id").agg(
             F.sum(F.col("part") * F.col("w")).alias("score"),
-            F.count_distinct(
-                F.when(F.col("is_must"), F.col("term"))
+            # posting rows are unique per (term, doc) and term_meta has
+            # one row per term, so a conditional SUM equals the distinct
+            # must-term count — count_distinct here would plan a second
+            # shuffle (two-phase distinct agg), doubling the query's
+            # exchange cost at scale
+            F.sum(
+                F.when(F.col("is_must"), 1).otherwise(0)
             ).alias("n_must"),
             F.max(F.when(F.col("is_not"), 1).otherwise(0)).alias("excluded"),
             F.max(F.when(F.col("is_should"), 1).otherwise(0)).alias("has_should"),
