@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "simhash",
     "extract_text",
     "multimodal_decode",
+    "dedup_clusters",
 ]
 
 

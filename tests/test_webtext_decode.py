@@ -119,3 +119,22 @@ def test_extract_webtext_fixture_byte_identical(spark):
     # analyzer-level byte identity: token streams match exactly
     for row in out.select("extracted", "text").collect():
         assert tokenize(row["extracted"]) == tokenize(row["text"])
+
+
+# --- Near-dup clustering (connected components) --------------------------
+
+def test_dedup_clusters_known_graphs(spark):
+    from toshi_spark.pipeline.dedup import dedup_clusters
+
+    # chain 1-2-3, triangle 10-11-12, pair 20-21, long chain 30..40
+    pairs = [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs += [(i, i + 1) for i in range(30, 40)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(df).collect()}
+    assert {k: v for k, v in got.items() if k < 10} == {1: 1, 2: 1, 3: 1}
+    assert {k: v for k, v in got.items() if 10 <= k < 20} == {
+        10: 10, 11: 10, 12: 10}
+    assert {k: v for k, v in got.items() if 20 <= k < 30} == {20: 20, 21: 20}
+    # diameter-10 chain: multi-round propagation must fully converge
+    assert {got[i] for i in range(30, 41)} == {30}

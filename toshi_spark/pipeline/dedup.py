@@ -242,3 +242,72 @@ def simhash(
         sig = sig + F.when(F.col(f"s{b}") > 0,
                            F.lit(1 << b).cast("long")).otherwise(F.lit(0))
     return sums.select("doc_id", sig.alias("simhash"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs →
+    (doc_id, cluster_id) with cluster_id = min doc id in the component.
+
+    This is the step a dedup pipeline needs AFTER pair generation
+    (MinHash-LSH / SimHash / embedding bands): transitive closure so
+    A≈B, B≈C collapse into one cluster and one survivor (min id) can
+    be kept.  Pairwise filters alone under-delete chains.
+
+    Min-label propagation: every vertex starts labeled with itself;
+    each round takes the min label over the 1-hop neighborhood;
+    converges in O(component diameter) rounds — near-dup components
+    are short chains in practice, so a handful of rounds.  Each round
+    is ONE join + ONE partial-aggregated groupBy on the edge list
+    (both sides hash-partitioned on vertex id — at crawl scale this is
+    the standard alternating-star shape, skew-safe because candidate
+    generation already caps bucket sizes upstream).  Lineage is cut
+    with ``localCheckpoint`` every round so the driver loop does not
+    compound plans; the convergence check piggybacks on the same
+    action that materializes the round's labels (one job per round,
+    no extra pass).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("v_id"))
+        .distinct()
+        .withColumn("label", F.col("v_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["v"] == labels["v_id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nl"))
+        )
+        stepped = (
+            labels.join(neigh, labels["v_id"] == neigh["u"], "left")
+            .select(
+                "v_id",
+                F.col("label").alias("old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # one action: materialize the round AND read the change count
+        stepped = stepped.localCheckpoint()
+        changed = stepped.filter(F.col("label") != F.col("old")).count()
+        labels = stepped.select("v_id", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("v_id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

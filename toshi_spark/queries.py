@@ -1466,6 +1466,42 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(attach_bmp(load_documents(spark, sf_dir)))
 
 
+# --- Near-dup clustering (connected components) -------------------------
+#
+# Pair generation alone under-deletes chains (A≈B, B≈C but A̸≈C); a
+# dedup pipeline needs the transitive closure to pick one survivor per
+# component.  Spark side: iterative min-label propagation with
+# localCheckpoint lineage cuts (pipeline.dedup.dedup_clusters); oracle:
+# the SAME pair query wrapped in a recursive CTE computing min
+# reachable id per vertex — a genuinely iterative operator that still
+# gets a full value-checked oracle.
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.dedup import dedup_clusters
+
+    docs = _docs_with_dups(spark, sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=8)
+    cands = lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4)
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE pr AS ({ORACLES["ngram_jaccard"]}),
+edges AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+verts AS (SELECT DISTINCT u AS v_id FROM edges),
+reach AS (
+  SELECT v_id, v_id AS label FROM verts
+  UNION
+  SELECT e.u AS v_id, r.label FROM edges e JOIN reach r ON r.v_id = e.v
+)
+SELECT v_id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY v_id
+"""
+QUERIES["dedup_clusters"] = q_dedup_clusters
+
+
 ORACLES["multimodal_decode"] = """
 WITH px AS (
   SELECT d.doc_id, r.r, c.c,
