@@ -157,14 +157,30 @@ def ngram_jaccard_pairs(
 
     Exploded distinct shingles joined per pair: |A∩B| via a join on
     (pair, shingle); |A∪B| = |A|+|B|−|A∩B|.  Only candidate pairs are
-    verified (LSH prunes the quadratic blowup).
+    verified (LSH prunes the quadratic blowup), and only candidate
+    DOCS are shingled — the semi-join below keeps the verify stage's
+    cost proportional to the candidate set, not the corpus (the
+    shingle subplan appears three times in this plan, so without the
+    restriction the full corpus would be re-tokenized three times).
     """
+    # persist the (small, bounded) pair table: it feeds both the
+    # doc-restriction and the per-pair join below, and recomputing it
+    # means re-running the whole MinHash+LSH pipeline per reference
+    candidates = candidates.select("a", "b").persist()
+    cand_ids = candidates.select(
+        F.explode(F.array(F.col("a"), F.col("b"))).alias(id_col)
+    ).distinct()
+    docs = docs.join(cand_ids, id_col, "left_semi")
+    # the shingle table feeds three subplans (sizes, pair-side a,
+    # pair-side b); persist it so the upstream doc scan + tokenize runs
+    # ONCE — it is the verify stage's working set, sized by candidate
+    # docs (MEMORY_AND_DISK, spills rather than OOMs at scale)
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(shingles_col(tokens_col(text_col), shingle_k))
         ).alias("shingle"),
-    )
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pa = candidates.join(sh.withColumnRenamed("doc_id", "a"), "a").select(
         "a", "b", "shingle"
@@ -271,11 +287,18 @@ def dedup_clusters(
     action that materializes the round's labels (one job per round,
     no extra pass).
     """
+    # single-pass symmetrization (explode, not a self-union — a union
+    # would evaluate the upstream pair pipeline twice)
     edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("v")),
+                    F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("v")),
+                )
+            ).alias("e")
         )
+        .select("e.u", "e.v")
         .distinct()
         .persist()
     )
