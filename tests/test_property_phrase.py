@@ -99,3 +99,47 @@ def test_bmp_roundtrip_property(w, h, seed):
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     np.testing.assert_array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    must=st.lists(st.sampled_from(VOCAB), max_size=2, unique=True),
+    should=st.lists(st.sampled_from(VOCAB), max_size=2, unique=True),
+    must_not=st.lists(st.sampled_from(VOCAB), max_size=1, unique=True),
+)
+def test_bool_matches_set_algebra(phrase_ix, must, should, must_not):
+    """Single-scan bool fast path vs brute-force set algebra.
+
+    Semantics (Tantivy): docs containing ALL must terms, minus docs
+    with any must_not term; with no must clauses, docs matching any
+    should term (minus must_not).  No positive clause → no scorer →
+    empty result.
+    """
+    from toshi_spark.query.compiler import Compiler
+    from toshi_spark.query.dsl import BoolQuery, ExactTerm
+
+    ix, docs = phrase_ix
+    q = BoolQuery(
+        must=[ExactTerm(field="body", value=t) for t in must],
+        should=[ExactTerm(field="body", value=t) for t in should],
+        must_not=[ExactTerm(field="body", value=t) for t in must_not],
+    )
+    got = {r["doc_id"] for r in Compiler(ix).compile(q).collect()}
+
+    def docs_with(t):
+        return {i for i, toks in enumerate(docs) if t in toks}
+
+    if must:
+        exp = set(range(len(docs)))
+        for t in must:
+            exp &= docs_with(t)
+    elif should:
+        exp = set()
+        for t in should:
+            exp |= docs_with(t)
+    else:
+        exp = set()
+    for t in must_not:
+        exp -= docs_with(t)
+    assert got == exp
