@@ -143,3 +143,36 @@ def test_bool_matches_set_algebra(phrase_ix, must, should, must_not):
     for t in must_not:
         exp -= docs_with(t)
     assert got == exp
+
+
+# --- Raw-parser fuzz: parse never crashes with a non-QueryError ----------
+
+_RAW_ATOMS = [
+    "alpha", "beta", '"alpha beta"', "body:alpha", "body:(alpha beta)",
+    "alpha^2", "al*a", "a?pha", "alpha~1", "body:[1 TO 5]", "-alpha",
+    "+beta", "(", ")", "AND", "OR", "NOT", ":", "^", "~", "*", '"',
+    "[", "]", "TO", "body:", "", " ",
+]
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(parts=st.lists(st.sampled_from(_RAW_ATOMS), min_size=1, max_size=6))
+def test_raw_parser_total(phrase_ix, parts):
+    """Any token soup either parses to a DSL tree or raises the pinned
+    QueryError — never an unhandled exception.  Parsed trees must also
+    COMPILE (the parser may not emit nodes the compiler rejects)."""
+    from toshi_spark.query.compiler import Compiler
+    from toshi_spark.query.raw import parse_raw
+    from toshi_spark.schema import QueryError
+
+    ix, _ = phrase_ix
+    raw = " ".join(parts)
+    try:
+        q = parse_raw(raw, ix.schema)
+    except QueryError:
+        return
+    try:
+        Compiler(ix).compile(q)
+    except QueryError:
+        pass  # e.g. range over a text field — pinned error, fine
