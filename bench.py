@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "extract_text",
     "multimodal_decode",
     "dedup_clusters",
+    "sample_stratified",
 ]
 
 

@@ -1517,6 +1517,87 @@ FROM reach GROUP BY v_id
 QUERIES["dedup_clusters"] = q_dedup_clusters
 
 
+# --- Dedup survivor filter (keep-list) ----------------------------------
+#
+# The last step of the dedup pipeline: drop every clustered doc except
+# its component's min-id representative.  An anti-join against the
+# non-representative cluster members — at crawl scale the keep-list
+# join is the small side (clustered docs ≪ corpus).
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.dedup import dedup_clusters
+
+    docs = _docs_with_dups(spark, sf_dir)
+    clusters = dedup_clusters(_get_verified_pairs(spark, sf_dir))
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["dedup_survivors"] = f"""
+WITH RECURSIVE pr AS ({ORACLES["ngram_jaccard"]}),
+edges AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+verts AS (SELECT DISTINCT u AS v_id FROM edges),
+reach AS (
+  SELECT v_id, v_id AS label FROM verts
+  UNION
+  SELECT e.u AS v_id, r.label FROM edges e JOIN reach r ON r.v_id = e.v
+),
+clusters AS (
+  SELECT v_id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY v_id
+),
+{_DOCS_AUG_SQL.strip()}
+SELECT d.doc_id
+FROM docs_aug d
+LEFT JOIN clusters c ON c.doc_id = d.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+ORDER BY d.doc_id
+"""
+QUERIES["dedup_survivors"] = q_dedup_survivors
+
+
+# --- Stratified deterministic sampling ----------------------------------
+#
+# Training-mix construction: an exact per-language quota, selected
+# DETERMINISTICALLY by md5 rank (not rand()) so the sample is stable
+# across runs/engines and the oracle reproduces it bit-for-bit.  One
+# window per stratum — at crawl scale this is a single shuffle on the
+# stratum key, with the quota applied map-side per partition after the
+# sort (rank ≤ quota prunes in the window operator, nothing collects).
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_documents(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+ORACLES["sample_stratified"] = """
+SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 25
+"""
+QUERIES["sample_stratified"] = q_sample_stratified
+
+
 ORACLES["multimodal_decode"] = """
 WITH px AS (
   SELECT d.doc_id, r.r, c.c,
