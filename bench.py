@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "multimodal_decode",
     "dedup_clusters",
     "sample_stratified",
+    "repetition",
 ]
 
 

@@ -138,3 +138,28 @@ def test_dedup_clusters_known_graphs(spark):
     assert {k: v for k, v in got.items() if 20 <= k < 30} == {20: 20, 21: 20}
     # diameter-10 chain: multi-round propagation must fully converge
     assert {got[i] for i in range(30, 41)} == {30}
+
+
+# --- Repetition signals --------------------------------------------------
+
+def test_repetition_stats_known_values(spark):
+    from toshi_spark.pipeline.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, 2 distinct -> dup_line_frac 0.5;
+            # bigrams of "a b a b a b": (a b)x3 (b a)x2 -> top 3/5
+            (0, "a b a b\na b a b\nx\nx"),
+            (1, "unique line one\nunique line two"),   # no dup lines
+            (2, "word"),                                # <2 tokens
+            (3, ""),                                    # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[0]["dup_line_frac"] == 0.5
+    # doc 0 tokens: a b a b a b a b x x -> bigrams: (a b)x4,(b a)x3,(b x),(x x)
+    assert got[0]["top_bigram_frac"] == round(4 / 9, 4)
+    assert got[1]["dup_line_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0

@@ -143,3 +143,62 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
     ).mapInArrow(kern, "doc_id long, fingerprint long")
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals for webtext filtering:
+
+    - ``dup_line_frac``: 1 − distinct/total over non-empty trimmed
+      lines (boilerplate and templated pages repeat lines);
+    - ``top_bigram_frac``: share of the most frequent word bigram
+      among all bigrams (degenerate/spammy text loops short phrases).
+
+    Line stats are pure array algebra per row; the bigram mode needs a
+    per-(doc, bigram) count → explode + partially-aggregated groupBy,
+    the same one-shuffle shape as the MinHash token path (the shuffle
+    carries (doc, bigram, count) partials, not raw tokens).
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        bigrams.alias("bg"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("bg").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"), F.sum("c").alias("tc"))
+    )
+    return (
+        base.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_line_frac",
+            F.coalesce(
+                F.round(F.col("mc").cast("double") / F.col("tc"), 4),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+        )
+    )

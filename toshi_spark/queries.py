@@ -1517,6 +1517,48 @@ FROM reach GROUP BY v_id
 QUERIES["dedup_clusters"] = q_dedup_clusters
 
 
+# --- Repetition signals (Gopher-style webtext filter) -------------------
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.textstats import repetition_stats
+
+    return repetition_stats(load_documents(spark, sf_dir))
+
+
+ORACLES["repetition"] = """
+WITH arr AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS lines,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+lf AS (
+  SELECT doc_id,
+    CASE WHEN len(lines) > 0 THEN
+      round(1 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 4)
+    ELSE CAST(0.0 AS DOUBLE) END AS dup_line_frac,
+    toks
+  FROM arr
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM lf WHERE len(toks) >= 2
+),
+cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+agg AS (SELECT doc_id, max(c) AS mc, sum(c) AS tc FROM cnt GROUP BY 1)
+SELECT l.doc_id, l.dup_line_frac,
+       CASE WHEN a.doc_id IS NULL THEN CAST(0.0 AS DOUBLE)
+            ELSE round(CAST(mc AS DOUBLE) / tc, 4) END AS top_bigram_frac
+FROM lf l LEFT JOIN agg a USING (doc_id)
+"""
+QUERIES["repetition"] = q_repetition
+
+
 # --- Dedup survivor filter (keep-list) ----------------------------------
 #
 # The last step of the dedup pipeline: drop every clustered doc except
