@@ -169,13 +169,28 @@ def build_index(
     )
 
 
+# Stripe width (log2) for head-term salting.  Salting by contiguous
+# 2^SALT_STRIPE_BITS-doc stripes round-robined over the salts — rather
+# than doc_id % n_salts — keeps doc runs contiguous inside each salt:
+#   * delta encoding stays dense (one larger jump per stripe boundary
+#     instead of EVERY delta inflating n_salts-fold), and
+#   * local tf skew (a spammy doc-id neighborhood) stays co-located in
+#     blocks, so block-max impact bounds keep certifying it — pure
+#     modulo salting shards skewed docs below HI_RANK per block and
+#     weakens τ (measured, see test_prune_stats_skewed_corpus_prunes).
+# Balance is within one stripe per salt once a term's doc range spans
+# ≳ 2^bits · n_salts docs — trivially true for any term worth salting.
+SALT_STRIPE_BITS = 8
+
+
 def salted_postings(
     postings: DataFrame,
     termstats: DataFrame,
     df_threshold: int,
     n_salts: int = 16,
 ) -> DataFrame:
-    """Add a ``salt`` column: 0 for tail terms, doc_id%n_salts for head terms.
+    """Add a ``salt`` column: 0 for tail terms; for head terms the
+    doc-stripe round-robin (doc_id >> SALT_STRIPE_BITS) % n_salts.
 
     Head terms (df > threshold) would otherwise hash-partition an entire
     multi-million-doc posting run onto one reducer.  Salting spreads the
@@ -193,7 +208,10 @@ def salted_postings(
             "salt",
             F.when(
                 F.col("__is_head").isNotNull(),
-                (F.col("doc_id") % F.lit(n_salts)).cast("int"),
+                (
+                    F.shiftright(F.col("doc_id"), SALT_STRIPE_BITS)
+                    % F.lit(n_salts)
+                ).cast("int"),
             ).otherwise(F.lit(0)),
         )
         .drop("__is_head")
