@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "sample_stratified",
     "repetition",
+    "pii_scrub",
 ]
 
 

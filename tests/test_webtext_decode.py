@@ -163,3 +163,30 @@ def test_repetition_stats_known_values(spark):
     assert got[1]["dup_line_frac"] == 0.0
     assert got[2]["top_bigram_frac"] == 0.0
     assert got[3]["dup_line_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
+
+
+# --- PII scrub ------------------------------------------------------------
+
+def test_pii_scrub_known_values(spark):
+    from toshi_spark.pipeline.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b-c_d@sub.example.org now"),
+            (1, "server at 192.168.0.1 and 10.0.0.255"),
+            (2, "ssn 123-45-6789 but not 1234-56-789"),
+            (3, "clean text with no pii at all"),
+            (4, "both x@y.co and 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[0]["n_email"] == 1
+    assert got[0]["redacted"] == "mail <EMAIL> now"
+    assert got[1]["n_ipv4"] == 2
+    assert got[1]["redacted"] == "server at <IPV4> and <IPV4>"
+    assert got[2]["n_ssn"] == 1
+    assert "<SSN>" in got[2]["redacted"]
+    assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_ssn"] == 0
+    assert got[3]["redacted"] == "clean text with no pii at all"
+    assert got[4]["redacted"] == "both <EMAIL> and <IPV4>"

@@ -202,3 +202,36 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             ).alias("top_bigram_frac"),
         )
     )
+
+
+# PII patterns — shared verbatim with the DuckDB oracle, so the subset
+# must be RE2-compatible (no lookaround/backreferences).  Conservative
+# by design: training-data scrubbing prefers false positives.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Detect and redact PII-shaped spans: per-kind match counts plus
+    the text with each span replaced by a typed placeholder.
+
+    Pure regexp column algebra — map-only, fuses into the source scan
+    at crawl scale.  Emails are redacted FIRST (an email contains a
+    dot-separated host that the looser patterns must not see).
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("long").alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    redacted = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *counts,
+        redacted.alias("redacted"),
+    )

@@ -1559,6 +1559,58 @@ FROM lf l LEFT JOIN agg a USING (doc_id)
 QUERIES["repetition"] = q_repetition
 
 
+# --- PII detection / redaction ------------------------------------------
+#
+# The corpus has no organic PII, so the query plants deterministic
+# spans (an email + an IP derived from doc_id) before scrubbing — the
+# oracle constructs the identical text and applies the same patterns,
+# so match counting AND span replacement are value-checked.
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.textstats import pii_scrub
+
+    docs = load_documents(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.1."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    return pii_scrub(seeded)
+
+
+def _pii_oracle() -> str:
+    from .pipeline.textstats import PII_PATTERNS
+
+    seeded = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or 10.1.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.' || CAST(doc_id % 100 AS VARCHAR) || ' ssn 123-45-6789'"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    red = "t"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
+    return f"""
+SELECT doc_id, {counts}, {red} AS redacted
+FROM (SELECT doc_id, {seeded} AS t FROM documents)
+"""
+
+
+ORACLES["pii_scrub"] = _pii_oracle()
+QUERIES["pii_scrub"] = q_pii_scrub
+
+
 # --- Dedup survivor filter (keep-list) ----------------------------------
 #
 # The last step of the dedup pipeline: drop every clustered doc except
