@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "sample_stratified",
     "repetition",
     "pii_scrub",
+    "boilerplate_strip",
 ]
 
 

@@ -190,3 +190,22 @@ def test_pii_scrub_known_values(spark):
     assert got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_ssn"] == 0
     assert got[3]["redacted"] == "clean text with no pii at all"
     assert got[4]["redacted"] == "both <EMAIL> and <IPV4>"
+
+
+# --- Boilerplate line removal --------------------------------------------
+
+def test_boilerplate_detect_and_strip(spark):
+    from toshi_spark.pipeline.webtext import boilerplate_lines, strip_boilerplate
+
+    rows = [(i, f"unique opener {i}\nCOMMON FOOTER\n  COMMON FOOTER  \nbody {i}")
+            for i in range(20)]
+    rows.append((99, "COMMON FOOTER"))  # doc that is ALL boilerplate
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = boilerplate_lines(docs, min_docs=10)
+    got = {r["line"] for r in bp.collect()}
+    assert got == {"COMMON FOOTER"}  # trimmed variants count as one line
+    out = {r["doc_id"]: r["clean"]
+           for r in strip_boilerplate(docs, bp).collect()}
+    assert out[3] == "unique opener 3\nbody 3"
+    assert out[99] == ""  # fully-boilerplate doc survives as empty
+    assert len(out) == 21

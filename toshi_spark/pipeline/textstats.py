@@ -160,7 +160,8 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     carries (doc, bigram, count) partials, not raw tokens).
     """
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        F.transform(F.split(F.col(text_col), "\n"),
+                    lambda l: F.trim(l)),
         lambda l: l != "",
     )
     n_lines = F.size(lines)

@@ -85,3 +85,77 @@ def oracle_extract_sql(html_expr: str) -> str:
         expr = f"replace({expr}, '{ent.replace(chr(39), chr(39)*2)}', '{lit}')"
     expr = f"regexp_replace({expr}, '{WS_RE}', ' ', 'g')"
     return f"trim({expr})"
+
+
+def boilerplate_lines(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Lines (trimmed, non-empty) appearing in ≥ ``min_docs`` DISTINCT
+    docs — the cross-document boilerplate set (nav bars, footers,
+    cookie banners) that line-level dedup strips before training.
+
+    Two shuffles, both necessary for exactness: distinct (line, doc)
+    pairs, then a partially-aggregated count per line.  Output is the
+    (small) boilerplate lexicon.
+    """
+    lines = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), "\n"),
+                    lambda l: F.trim(l)),
+                lambda l: l != "",
+            )
+        ).alias("line"),
+    )
+    return (
+        lines.distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line", "n_docs")
+    )
+
+
+def strip_boilerplate(
+    pages: DataFrame,
+    boiler: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean",
+) -> DataFrame:
+    """Remove boilerplate lines from each doc, preserving the order of
+    the surviving lines.
+
+    posexplode → anti-join against the boilerplate lexicon (the small
+    side; Spark broadcasts it under AQE) → order-preserving
+    re-assembly via array_sort over (pos, line) structs.  Docs whose
+    every line is boilerplate survive with an empty string.
+    """
+    pos = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    kept = pos.join(
+        boiler.select(F.col("line").alias("bline")),
+        F.trim(pos["line"]) == F.col("bline"),
+        "left_anti",
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    # docs that lost every line still come back (empty clean text)
+    return (
+        pages.select(F.col(id_col).alias("doc_id"))
+        .join(reassembled, "doc_id", "left")
+        .select("doc_id", F.coalesce(out_col, F.lit("")).alias(out_col))
+    )

@@ -1611,6 +1611,72 @@ ORACLES["pii_scrub"] = _pii_oracle()
 QUERIES["pii_scrub"] = q_pii_scrub
 
 
+# --- Cross-doc boilerplate line removal ---------------------------------
+#
+# Every doc gets two planted footer lines (shared corpus-wide → the
+# lexicon must catch them) plus one per-doc unique line (must
+# survive); the oracle recomputes the lexicon and the order-preserving
+# reassembly, value-checking both detection and stripping.
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.webtext import boilerplate_lines, strip_boilerplate
+
+    docs = load_documents(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("c 2025 Example Corp"),
+            F.lit("all rights reserved"),
+            F.concat(F.lit("page id "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    bp = boilerplate_lines(seeded, min_docs=100)
+    out = strip_boilerplate(seeded, bp)
+    return out.select(
+        "doc_id",
+        F.md5("clean").alias("clean_hash"),
+        F.length("clean").cast("long").alias("n_chars"),
+    )
+
+
+ORACLES["boilerplate_strip"] = """
+WITH seeded AS (
+  SELECT doc_id,
+         text || chr(10) || 'c 2025 Example Corp' || chr(10) ||
+         'all rights reserved' || chr(10) ||
+         'page id ' || CAST(doc_id AS VARCHAR) AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS p, arr
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS arr FROM seeded)
+),
+lines AS (SELECT doc_id, p, arr[p] AS line FROM idx),
+boiler AS (
+  SELECT line FROM (
+    SELECT DISTINCT doc_id, trim(line) AS line
+    FROM lines WHERE trim(line) <> ''
+  ) GROUP BY line HAVING count(*) >= 100
+),
+kept AS (
+  SELECT l.doc_id, l.p, l.line FROM lines l
+  LEFT JOIN boiler b ON trim(l.line) = b.line
+  WHERE b.line IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY p) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, md5(coalesce(c.clean, '')) AS clean_hash,
+       CAST(length(coalesce(c.clean, '')) AS BIGINT) AS n_chars
+FROM seeded s LEFT JOIN clean c USING (doc_id)
+"""
+QUERIES["boilerplate_strip"] = q_boilerplate_strip
+
+
 # --- Dedup survivor filter (keep-list) ----------------------------------
 #
 # The last step of the dedup pipeline: drop every clustered doc except
