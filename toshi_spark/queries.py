@@ -228,8 +228,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer, RE2-safe subset (no lookahead, so interior
+# multi-space runs count as one whitespace token instead of splitting
+# one space onto the next word — documented approximation; the pattern
+# is shared verbatim with the DuckDB oracle).  Gives the BPE-ish token
+# count a data pipeline budgets corpora with.
+BPE_PRETOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+)
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + alnum-run token counts per doc (pipeline text stats)."""
+    """Whitespace, alnum-run, and BPE-pretoken counts per doc."""
     docs = load_documents(spark, sf_dir)
     return docs.select(
         "doc_id",
@@ -239,6 +249,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
             )
         ).cast("long").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE),
+                                 F.lit(0))
+        ).cast("long").alias("n_bpe"),
     )
 
 
@@ -449,7 +463,10 @@ FROM documents GROUP BY md5(text)
 SELECT doc_id,
        len(regexp_split_to_array(text, '\\s+')) AS n_ws,
        len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                       t -> t <> '')) AS n_tokens
+                       t -> t <> '')) AS n_tokens,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'
+       )) AS n_bpe
 FROM documents
 """,
     "ann_cosine": """
