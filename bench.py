@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "repetition",
     "pii_scrub",
     "boilerplate_strip",
+    "chunk_documents",
 ]
 
 

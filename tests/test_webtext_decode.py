@@ -209,3 +209,25 @@ def test_boilerplate_detect_and_strip(spark):
     assert out[3] == "unique opener 3\nbody 3"
     assert out[99] == ""  # fully-boilerplate doc survives as empty
     assert len(out) == 21
+
+
+# --- Document chunking -----------------------------------------------------
+
+def test_chunk_documents_overlap(spark):
+    from toshi_spark.pipeline.textstats import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(95))
+    docs = spark.createDataFrame([(0, text), (1, "only three tokens")],
+                                 "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=50, stride=40)
+    rows = {(r["doc_id"], r["chunk_no"]): r for r in out.collect()}
+    # doc 0: starts at 0, 40, 80 -> 3 chunks; last one is short
+    assert {c for (d, c) in rows if d == 0} == {0, 1, 2}
+    assert rows[(0, 0)]["n_chunk_tokens"] == 50
+    assert rows[(0, 0)]["chunk"].split()[0] == "t0"
+    assert rows[(0, 1)]["chunk"].split()[0] == "t40"  # 10-token overlap
+    assert rows[(0, 1)]["chunk"].split()[-1] == "t89"
+    assert rows[(0, 2)]["n_chunk_tokens"] == 15
+    # short doc: single chunk, whole doc
+    assert rows[(1, 0)]["chunk"] == "only three tokens"
+    assert (1, 1) not in rows

@@ -236,3 +236,38 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"), *counts,
         redacted.alias("redacted"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Split each doc into whitespace-token windows of ``chunk_tokens``
+    every ``stride`` tokens (overlap = chunk_tokens − stride) — the
+    context-packing stage an embedding/pretraining pipeline runs ahead
+    of tokenization.  One posexplode row per chunk, all array algebra:
+    a flatMap fused into the scan, no shuffle.  Chunk text re-joins
+    the original whitespace tokens with single spaces (documented
+    normalization — the token stream is what downstream consumes).
+    """
+    arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(arr) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        arr.alias("toks"),
+        F.posexplode(starts).alias("chunk_no", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens)
+    return base.select(
+        "doc_id",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk"),
+    )

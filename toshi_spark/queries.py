@@ -1576,6 +1576,42 @@ FROM lf l LEFT JOIN agg a USING (doc_id)
 QUERIES["repetition"] = q_repetition
 
 
+# --- Document chunking (context packing) --------------------------------
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.textstats import chunk_documents
+
+    out = chunk_documents(load_documents(spark, sf_dir),
+                          chunk_tokens=50, stride=40)
+    return out.select(
+        "doc_id", "chunk_no", "n_chunk_tokens",
+        F.md5("chunk").alias("chunk_hash"),
+    )
+
+
+ORACLES["chunk_documents"] = """
+WITH arr AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 40)) AS start,
+         generate_subscripts(range(0, greatest(len(toks) - 1, 0) + 1, 40), 1)
+           - 1 AS chunk_no
+  FROM arr
+)
+SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+       CAST(len(list_slice(toks, start + 1, start + 50)) AS BIGINT)
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, start + 1, start + 50), ' '))
+         AS chunk_hash
+FROM st
+"""
+QUERIES["chunk_documents"] = q_chunk_documents
+
+
 # --- PII detection / redaction ------------------------------------------
 #
 # The corpus has no organic PII, so the query plants deterministic
