@@ -362,3 +362,30 @@ def test_bool_fast_path_should_only(index, monkeypatch):
     a = sorted((r.doc_id, round(r.score, 10)) for r in fast.collect())
     b = sorted((r.doc_id, round(r.score, 10)) for r in general.collect())
     assert a == b and len(a) == 3  # docs 0,1,4 minus doc 3 ('4' term)
+
+
+def test_raw_fielded_star_is_field_exists(spark):
+    """`title:*` must match docs with ANY title term (field-exists,
+    Lucene semantics), not every document."""
+    from toshi_spark.engine import FullTextIndex
+    from toshi_spark.schema import FieldSpec, IndexSchema
+
+    schema = IndexSchema([
+        FieldSpec("title", "text", stored=True, indexed=True),
+        FieldSpec("body", "text", stored=True, indexed=True),
+    ])
+    docs = spark.createDataFrame(
+        [(0, "hello title", "common body"),
+         (1, "", "common body only")],
+        "doc_id long, title string, body string",
+    )
+    ix = FullTextIndex.build(spark, docs, schema, id_col="doc_id",
+                             name="fes")
+    r = ix.search_json({"query": {"raw": "title:*"}, "limit": 10})
+    assert [d.doc["body"] for d in r.docs] == ["common body"]
+    # bare unfielded * still matches everything
+    r2 = ix.search_json({"query": {"raw": "*"}, "limit": 10})
+    assert r2.hits == 2
+    # negated field-exists: docs WITHOUT a title
+    r3 = ix.search_json({"query": {"raw": "* -title:*"}, "limit": 10})
+    assert [d.doc["body"] for d in r3.docs] == ["common body only"]

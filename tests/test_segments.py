@@ -410,3 +410,48 @@ def test_open_without_rowstore_serves_nulls(spark, corpus, tmp_path_factory):
     assert r.hits == 3
     assert all(d.doc["text"] is None for d in r.docs)
     assert all(d.score > 0 for d in r.docs)
+
+
+def test_stale_format_purge_refuses_unrecreatable(spark, tmp_path):
+    """build_segments may purge ONLY stale segments it is about to
+    recreate; entries it cannot restore (flush micro-segments, other
+    fingerprints) must abort the build, not silently vanish."""
+    import pytest
+    from toshi_spark.index.segments import (
+        Manifest, ManifestEntry, build_segments, segment_id_for,
+        SEGMENT_FORMAT_VERSION,
+    )
+    from toshi_spark.fixtures import synth_webtext
+    from toshi_spark.index.docmap import assign_doc_ids
+
+    idx = str(tmp_path / "ix")
+    corpus = assign_doc_ids(synth_webtext(spark, 60, seed=5),
+                            order_col="url")
+    build_segments(spark, corpus, idx, n_chunks=1, index_name="st",
+                   fingerprint="fp1")
+    m = Manifest(idx)
+    # forge a stale entry this build cannot recreate (flush-style id)
+    m.append(ManifestEntry(
+        segment_id="seg-deadbeef00000000", opstamp=1, docs=3, terms=3,
+        postings=3, bytes=10, committed_at="t",
+        format_version=SEGMENT_FORMAT_VERSION - 1,
+    ))
+    with pytest.raises(RuntimeError, match="cannot recreate"):
+        build_segments(spark, corpus, idx, n_chunks=1, index_name="st",
+                       fingerprint="fp1")
+    # but a stale entry matching THIS build's chunk under an older
+    # format IS recreatable and gets replaced cleanly
+    entries = [e for e in m.entries()
+               if e.segment_id != "seg-deadbeef00000000"]
+    old_id = segment_id_for("st", "chunk0of1", "fp1",
+                            fmt=SEGMENT_FORMAT_VERSION - 1)
+    entries.append(ManifestEntry(
+        segment_id=old_id, opstamp=1, docs=3, terms=3, postings=3,
+        bytes=10, committed_at="t",
+        format_version=SEGMENT_FORMAT_VERSION - 1,
+    ))
+    m.replace_all(entries)
+    out = build_segments(spark, corpus, idx, n_chunks=1, index_name="st",
+                         fingerprint="fp1")
+    assert all(e.format_version == SEGMENT_FORMAT_VERSION for e in out)
+    assert old_id not in {e.segment_id for e in Manifest(idx).entries()}

@@ -273,7 +273,14 @@ def make_encode_kernel(avgdl_by_field: dict[str, float]):
         o_deltas, o_tfs, o_dls = [], [], []
         for i in range(len(starts) - 1):
             s, e = starts[i], starts[i + 1]
-            ref = float(avgdl_by_field.get(fields[s], 0.0))
+            if fields[s] not in avgdl_by_field:
+                # a 0.0 ref_avgdl poisons every query-time corner ratio
+                # (division by zero → NaN bounds) — fail at build time
+                raise KeyError(
+                    f"no avgdl for field {fields[s]!r} in "
+                    f"avgdl_by_field {sorted(avgdl_by_field)}"
+                )
+            ref = float(avgdl_by_field[fields[s]])
             run = encode_run(
                 doc_ids[s:e], tfs[s:e], doc_lens[s:e], ref,
                 assume_sorted=True,

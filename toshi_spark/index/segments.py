@@ -103,12 +103,35 @@ class Manifest:
         os.replace(tmp, self.path)
 
 
-def segment_id_for(index_name: str, chunk_key: str, fingerprint: str) -> str:
+def segment_id_for(
+    index_name: str,
+    chunk_key: str,
+    fingerprint: str,
+    fmt: int = SEGMENT_FORMAT_VERSION,
+) -> str:
     h = hashlib.md5(
-        f"{index_name}:{chunk_key}:{fingerprint}:"
-        f"fmt{SEGMENT_FORMAT_VERSION}".encode()
+        f"{index_name}:{chunk_key}:{fingerprint}:fmt{fmt}".encode()
     )
     return f"seg-{h.hexdigest()[:16]}"
+
+
+def _recreatable_stale_ids(
+    index_name: str, n_chunks: int, fingerprint: str
+) -> set[str]:
+    """Every segment id THIS build's chunks could have carried under an
+    older format — the only stale entries build_segments may purge.
+    Covers the pre-versioning id form (no fmt suffix) and every
+    versioned form below the current one."""
+    ids: set[str] = set()
+    for chunk in range(n_chunks):
+        key = f"chunk{chunk}of{n_chunks}"
+        legacy = hashlib.md5(
+            f"{index_name}:{key}:{fingerprint}".encode()
+        ).hexdigest()[:16]
+        ids.add(f"seg-{legacy}")
+        for v in range(1, SEGMENT_FORMAT_VERSION):
+            ids.add(segment_id_for(index_name, key, fingerprint, fmt=v))
+    return ids
 
 
 def _dir_bytes(path: str) -> int:
@@ -283,6 +306,23 @@ def build_segments(
         if e.format_version != SEGMENT_FORMAT_VERSION
     ]
     if stale:
+        # ONLY purge stale entries this very build is about to recreate
+        # (its own chunk ids under older formats).  Anything else —
+        # flush micro-segments, chunks of a different corpus
+        # fingerprint — holds committed docs this build cannot restore;
+        # deleting them would silently lose data, so refuse instead.
+        recreatable = _recreatable_stale_ids(index_name, n_chunks,
+                                             fingerprint)
+        orphans = [e for e in stale if e.segment_id not in recreatable]
+        if orphans:
+            raise RuntimeError(
+                f"index at {index_dir} has {len(orphans)} segment(s) in "
+                f"an older format that this build cannot recreate "
+                f"(e.g. flush micro-segments or another ingest's "
+                f"chunks): {[e.segment_id for e in orphans][:5]}. "
+                "Re-ingest those sources into a fresh index directory; "
+                "refusing to drop committed documents."
+            )
         manifest.replace_all(fresh)
         for e in stale:
             shutil.rmtree(

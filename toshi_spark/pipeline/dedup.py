@@ -205,6 +205,13 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
     )
+    # materialize the (small) verified pairs eagerly so the two
+    # intermediates can be RELEASED — returning a lazy plan over them
+    # would pin both cache entries for the context's lifetime, leaking
+    # a shingle table per invocation
+    out = out.localCheckpoint()
+    candidates.unpersist()
+    sh.unpersist()
     return out
 
 
@@ -323,13 +330,38 @@ def dedup_clusters(
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint()
         )
-        # one action: materialize the round AND read the change count
-        stepped = stepped.localCheckpoint()
-        changed = stepped.filter(F.col("label") != F.col("old")).count()
-        labels = stepped.select("v_id", "label")
+        # pointer jumping: label ← label(label).  Each round then halves
+        # the remaining propagation distance, so convergence is
+        # O(log diameter) rounds — a 2^20-long chain fits in the default
+        # max_iter instead of silently timing out at diameter 20.
+        lab_map = stepped.select(
+            F.col("v_id").alias("m_v"), F.col("label").alias("m_l")
+        )
+        jumped = (
+            stepped.join(lab_map, stepped["label"] == lab_map["m_v"],
+                         "left")
+            .select(
+                "v_id",
+                "old",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("m_l"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = jumped.filter(F.col("label") != F.col("old")).count()
+        labels = jumped.select("v_id", "label")
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "rounds — returning partial labels would split components "
+            "and under-deduplicate; raise max_iter"
+        )
     edges.unpersist()
     return labels.select(
         F.col("v_id").alias("doc_id"), F.col("label").alias("cluster_id")

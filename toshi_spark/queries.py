@@ -459,13 +459,13 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
        count(*) AS n_copies
 FROM documents GROUP BY md5(text)
 """,
-    "token_count": """
+    "token_count": f"""
 SELECT doc_id,
        len(regexp_split_to_array(text, '\\s+')) AS n_ws,
        len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                        t -> t <> '')) AS n_tokens,
        len(regexp_extract_all(text,
-           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'
+           '{BPE_PRETOKEN_RE.replace(chr(39), chr(39) * 2)}'
        )) AS n_bpe
 FROM documents
 """,
@@ -694,14 +694,18 @@ def _get_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  df_threshold=200, n_salts=4)
         avgdl = {r["field"]: float(r["avgdl"])
                  for r in ix.fieldstats.collect()}
-        # coalesce the cached artifact: encoding wants wide parallelism
-        # but the cache holds ~n_postings/128 small rows — serving scans
-        # of a 64-way in-memory table pay 64 task launches per stage.
-        # (durable indexes read blocks from parquet, where file sizing
-        # picks the partition count.)
+        # repartition (NOT coalesce) the cached artifact: encoding wants
+        # wide parallelism but the cache holds ~n_postings/128 small
+        # rows — serving scans of a 64-way in-memory table pay 64 task
+        # launches per stage.  A coalesce here would propagate upstream
+        # (no shuffle barrier) and collapse the encode kernel itself to
+        # n_parts tasks; the repartition's shuffle keeps the encode at
+        # full width and only the (small) encoded rows move.  (durable
+        # indexes read blocks from parquet, where file sizing picks the
+        # partition count.)
         n_parts = max(1, spark.sparkContext.defaultParallelism // 4)
         _BLOCKS_CACHE[key] = (
-            encode_blocks_df(salted, avgdl).coalesce(n_parts).persist()
+            encode_blocks_df(salted, avgdl).repartition(n_parts).persist()
         )
     return _BLOCKS_CACHE[key]
 

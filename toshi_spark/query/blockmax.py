@@ -67,10 +67,17 @@ def _avgdl_for(fieldstats: DataFrame | float, field: str) -> float:
     filter on top would fall back to a full task launch."""
     if isinstance(fieldstats, (int, float)):
         return float(fieldstats)
+    seen = []
     for r in fieldstats.collect():
         if r["field"] == field:
             return float(r["avgdl"])
-    return 0.0
+        seen.append(r["field"])
+    # a 0.0 default would divide doc lengths by zero downstream and
+    # return k arbitrary docs all scored 0.0 — fail loudly instead
+    raise KeyError(
+        f"field {field!r} has no avgdl in fieldstats (known: {seen}); "
+        "was it indexed as a text field?"
+    )
 
 
 def _block_bounds(

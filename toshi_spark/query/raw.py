@@ -241,7 +241,14 @@ class _Parser:
 
         if not quoted and ("*" in value or "?" in value):
             if value == "*":
-                return AllQuery()  # bare * matches all documents
+                if field_name or self.field_stack:
+                    # fielded `f:*` = field-exists (Lucene semantics):
+                    # any term in the NAMED field, not match-all-docs
+                    per = [RegexQuery(f, ".*") for f in fields]
+                    return per[0] if len(per) == 1 else BoolQuery(
+                        should=per, allow_nested=True
+                    )
+                return AllQuery()  # bare unfielded * matches all documents
             pattern = _wildcard_regex(value.lower())
             per = [RegexQuery(f, pattern) for f in fields]
             return per[0] if len(per) == 1 else BoolQuery(
