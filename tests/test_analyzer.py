@@ -62,37 +62,88 @@ def test_raw_tokenizer_verbatim():
     assert terms_for("", "raw") == []
 
 
-def test_porter_stemmer_paper_vectors():
-    """Worked examples straight from Porter (1980) — every step."""
+def test_snowball_stemmer_vectors():
+    """Snowball English ("Porter2") reference vectors, hand-traced
+    against the published algorithm definition (snowballstem.org) —
+    exception lists, every step, and the R1/R2 region machinery."""
     from toshi_spark.porter import stem
 
     vectors = {
-        "caresses": "caress", "ponies": "poni", "caress": "caress",
-        "cats": "cat", "feed": "feed", "agreed": "agre",
-        "plastered": "plaster", "motoring": "motor", "sing": "sing",
-        "hopping": "hop", "tanned": "tan", "falling": "fall",
-        "hissing": "hiss", "failing": "fail", "filing": "file",
-        "happy": "happi", "sky": "sky", "relational": "relat",
-        "conditional": "condit", "rational": "ration",
-        "vietnamization": "vietnam", "operator": "oper",
-        "decisiveness": "decis", "hopefulness": "hope",
-        "triplicate": "triplic", "formative": "form",
-        "electriciti": "electr", "electrical": "electr",
+        # exception1 (whole-word special forms + invariants)
+        "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+        "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+        "early": "earli", "only": "onli", "singly": "singl",
+        "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+        "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+        # exception2 (invariant after step 1a)
+        "inning": "inning", "outing": "outing", "canning": "canning",
+        "herring": "herring", "earring": "earring",
+        "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
+        # step 0 (apostrophes)
+        "dog's": "dog", "dogs'": "dog", "'cause": "caus",
+        # step 1a
+        "caresses": "caress", "ponies": "poni", "ties": "tie",
+        "cries": "cri", "gas": "gas", "this": "this", "gaps": "gap",
+        "kiwis": "kiwi", "cats": "cat", "caress": "caress",
+        # step 1b (+ fixups: add-e, undouble — note ll is NOT a double)
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing",
+        "hopping": "hop", "hoping": "hope", "tanned": "tan",
+        "falling": "fall", "filling": "fill", "hissing": "hiss",
+        "failing": "fail", "filing": "file", "sized": "size",
+        "troubled": "troubl", "luxuriated": "luxuri",
+        # step 1c (y → i after non-initial non-vowel) + Y marking
+        "happy": "happi", "cry": "cri", "by": "by", "say": "say",
+        "crying": "cri", "sayings": "say", "enjoying": "enjoy",
+        "youth": "youth", "yearly": "year",
+        # step 2 (incl. the li-deletion Porter 1980 lacks)
+        "fairly": "fair", "knightly": "knight",
+        "consistently": "consist", "vietnamization": "vietnam",
+        "operator": "oper", "decisiveness": "decis",
+        "hopefulness": "hope", "electriciti": "electr",
+        # steps 3-4 and the R1/R2 gates
+        "relational": "relat", "conditional": "condit",
+        "rational": "ration", "national": "nation",
+        "sensational": "sensat", "triplicate": "triplic",
+        "formative": "format", "electrical": "electr",
         "revival": "reviv", "allowance": "allow", "inference": "infer",
         "adjustable": "adjust", "replacement": "replac",
-        "adoption": "adopt", "communism": "commun", "activate": "activ",
-        "effective": "effect", "probate": "probat", "rate": "rate",
-        "cease": "ceas", "controll": "control", "roll": "roll",
+        "agreement": "agreement", "adoption": "adopt",
+        "activate": "activ", "effective": "effect",
+        # gener-/commun-/arsen- R1 exceptions (prevent overstemming)
+        "generously": "generous", "communism": "communism",
+        "communities": "communiti", "arsenal": "arsenal",
+        # step 5
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controlling": "control", "controll": "control", "roll": "roll",
+        "databases": "databas", "are": "are",
     }
     for w, want in vectors.items():
         assert stem(w) == want, (w, stem(w), want)
+
+
+def test_snowball_diverges_from_porter1980_where_documented():
+    """The word classes where Snowball ≠ Porter 1980 — these pins are
+    what make stemmed index terms match the reference's rust-stemmers
+    output (rounds 1-3 shipped Porter 1980 here, a documented
+    deviation; now closed)."""
+    from toshi_spark.porter import stem
+
+    # Porter 1980 outputs for these: fairli, newli? (no li rule),
+    # dy, knightli, ugli-case handled by chance, commun, form
+    assert stem("fairly") == "fair"          # li-deletion
+    assert stem("knightly") == "knight"      # li-deletion
+    assert stem("dying") == "die"            # exception1
+    assert stem("news") == "news"            # exception1 (Porter: new)
+    assert stem("communism") == "communism"  # commun- R1 exception
+    assert stem("formative") == "format"     # ative needs R2
 
 
 def test_en_stem_tokenizer():
     from toshi_spark.analyzer import terms_for
 
     assert terms_for("Relational Databases are effective", "en_stem") == [
-        "relat", "databas", "ar", "effect"]
+        "relat", "databas", "are", "effect"]
     # stemming unifies morphological variants to one index term
     assert (terms_for("running", "en_stem")
             == terms_for("runs", "en_stem") == ["run"])

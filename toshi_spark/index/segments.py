@@ -320,8 +320,9 @@ def build_segments(
                 f"an older format that this build cannot recreate "
                 f"(e.g. flush micro-segments or another ingest's "
                 f"chunks): {[e.segment_id for e in orphans][:5]}. "
-                "Re-ingest those sources into a fresh index directory; "
-                "refusing to drop committed documents."
+                "Run migrate_stale_segments() to re-encode them in "
+                "place, or re-ingest their sources into a fresh index "
+                "directory; refusing to drop committed documents."
             )
         manifest.replace_all(fresh)
         for e in stale:
@@ -355,6 +356,95 @@ def build_segments(
         )
         out.append(entry)
     return out
+
+
+def migrate_stale_segments(
+    spark: SparkSession,
+    index_dir: str,
+    index_name: str = "index",
+) -> list[str]:
+    """Re-encode older-format committed segments under the CURRENT
+    format, in place — the upgrade path for durable indexes that
+    ``build_segments`` refuses to touch (flush micro-segments, merged
+    segments, other ingests' chunks: their docs are committed and not
+    recreatable from any pending build input).
+
+    Works for any older layout whose RAW tables are column-compatible
+    (postings: field/term/doc_id/tf[/positions]; doclens:
+    field/doc_id/doc_len): the derived artifacts (blocks with impact
+    bounds, termstats, stats.json) are recomputed from the raw tables
+    exactly as a fresh write would.  Each stale segment is rewritten
+    under a new content-addressed id and the manifest is swapped in ONE
+    ``replace_all`` — readers never observe a mixed old/new state, and
+    a crash mid-migration leaves the old manifest fully intact.
+    Returns the new segment ids.
+    """
+    manifest = Manifest(index_dir)
+    entries = manifest.entries()
+    stale = [
+        e for e in entries if e.format_version != SEGMENT_FORMAT_VERSION
+    ]
+    if not stale:
+        return []
+    remaining = {e.segment_id: e for e in entries}
+    new_entries: list[ManifestEntry] = []
+    for e in stale:
+        seg_dir = os.path.join(index_dir, "segments", e.segment_id)
+        try:
+            raw = spark.read.parquet(f"{seg_dir}/postings")
+            cols = ["field", "term", "doc_id", "tf"]
+            missing = [c for c in cols if c not in raw.columns]
+            if missing:
+                raise ValueError(
+                    f"postings table lacks column(s) {missing}"
+                )
+            if "positions" in raw.columns:
+                cols.append("positions")
+            doclens = spark.read.parquet(f"{seg_dir}/doclens").select(
+                "field", "doc_id", "doc_len"
+            )
+            if "doc_len" in raw.columns:  # inline since format v3
+                postings = raw.select(*cols, "doc_len")
+            else:  # pre-v3: stitch the inline doc_len from doclens
+                postings = raw.select(*cols).join(
+                    doclens, ["field", "doc_id"]
+                )
+        except Exception as exc:
+            raise RuntimeError(
+                f"segment {e.segment_id} (format v{e.format_version}) "
+                f"is not raw-table compatible with the current format; "
+                "re-ingest its source into a fresh index"
+            ) from exc
+        termstats = postings.groupBy("field", "term").agg(
+            F.count("*").alias("df")
+        )
+        fieldstats = doclens.groupBy("field").agg(
+            F.avg("doc_len").alias("avgdl")
+        )
+        tables = IndexTables(
+            postings=postings,
+            doclens=doclens,
+            termstats=termstats,
+            fieldstats=fieldstats,
+            n_docs=e.docs,
+        )
+        new_id = segment_id_for(
+            index_name, f"migrate:{e.segment_id}", f"fmt{e.format_version}"
+        )
+        entry = write_segment(
+            spark, tables, index_dir, new_id, opstamp=e.opstamp,
+            publish=False,
+        )
+        remaining.pop(e.segment_id, None)
+        remaining[new_id] = entry
+        new_entries.append(entry)
+    manifest.replace_all(list(remaining.values()))
+    for e in stale:
+        shutil.rmtree(
+            os.path.join(index_dir, "segments", e.segment_id),
+            ignore_errors=True,
+        )
+    return [e.segment_id for e in new_entries]
 
 
 def open_segmented_tables(spark: SparkSession, index_dir: str) -> IndexTables:
@@ -425,8 +515,10 @@ def _check_format(entries: list[ManifestEntry], index_dir: str) -> None:
         raise ValueError(
             f"index at {index_dir} has {len(bad)} segment(s) with format "
             f"version {sorted({e.format_version for e in bad})} "
-            f"(current: {SEGMENT_FORMAT_VERSION}); rebuild the index "
-            "(build_segments replaces stale-format segments automatically)"
+            f"(current: {SEGMENT_FORMAT_VERSION}); run "
+            "migrate_stale_segments() to re-encode them in place, or "
+            "rebuild (build_segments replaces its own stale chunks "
+            "automatically)"
         )
 
 

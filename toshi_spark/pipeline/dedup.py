@@ -22,6 +22,23 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 TOKENIZE_PATTERN = "[^a-z0-9]+"
 
 
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Eagerly materialize ``df`` and truncate its lineage.
+
+    ``localCheckpoint`` stores NON-replicated blocks: fast, but an
+    executor loss after the cut is unrecoverable (the lineage needed to
+    recompute is gone) — fatal for a long connected-components loop on
+    a real cluster.  When the session has a checkpoint directory
+    configured (``sc.setCheckpointDir``), use RELIABLE checkpointing
+    (HDFS/object-store backed, survives executor loss) instead; local
+    mode and ad-hoc sessions keep the cheap local path.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def tokens_col(text_col: str = "text") -> Column:
     """ASCII-lowered token array (JVM-side analyzer for pipeline ops)."""
     return F.filter(
@@ -209,7 +226,7 @@ def ngram_jaccard_pairs(
     # intermediates can be RELEASED — returning a lazy plan over them
     # would pin both cache entries for the context's lifetime, leaking
     # a shingle table per invocation
-    out = out.localCheckpoint()
+    out = _cut_lineage(out)
     candidates.unpersist()
     sh.unpersist()
     return out
@@ -289,8 +306,9 @@ def dedup_clusters(
     (both sides hash-partitioned on vertex id — at crawl scale this is
     the standard alternating-star shape, skew-safe because candidate
     generation already caps bucket sizes upstream).  Lineage is cut
-    with ``localCheckpoint`` every round so the driver loop does not
-    compound plans; the convergence check piggybacks on the same
+    every round (``_cut_lineage``: reliable checkpoint when the session
+    has a checkpoint dir, else localCheckpoint) so the driver loop does
+    not compound plans; the convergence check piggybacks on the same
     action that materializes the round's labels (one job per round,
     no extra pass).
     """
@@ -313,8 +331,8 @@ def dedup_clusters(
         edges.select(F.col("u").alias("v_id"))
         .distinct()
         .withColumn("label", F.col("v_id"))
-        .localCheckpoint()
     )
+    labels = _cut_lineage(labels)
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["v"] == labels["v_id"])
@@ -330,8 +348,8 @@ def dedup_clusters(
                     F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        stepped = _cut_lineage(stepped)
         # pointer jumping: label ← label(label).  Each round then halves
         # the remaining propagation distance, so convergence is
         # O(log diameter) rounds — a 2^20-long chain fits in the default
@@ -349,8 +367,8 @@ def dedup_clusters(
                     F.col("label"), F.coalesce(F.col("m_l"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        jumped = _cut_lineage(jumped)
         changed = jumped.filter(F.col("label") != F.col("old")).count()
         labels = jumped.select("v_id", "label")
         if changed == 0:

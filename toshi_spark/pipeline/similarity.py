@@ -119,20 +119,44 @@ def rh_signatures(
     )
 
     def kernel(batches):
+        import pyarrow.compute as pc
+
         planes_by_dim: dict[int, np.ndarray] = {}
+        expect_dim: int | None = None
         for b in batches:
             n = b.num_rows
             if n == 0:
                 continue
             ids = b.column(0).to_numpy(zero_copy_only=False).astype("int64")
             lists = b.column(1)
-            flat = lists.flatten().to_numpy(zero_copy_only=False)
-            if flat.size % n:
+            # exact per-row validation: a divisibility check alone lets
+            # a null/ragged column whose flattened size happens to
+            # divide n reshape silently into WRONG buckets (silent
+            # recall loss); check row lengths + nulls explicitly, and
+            # pin the dim across batches of this partition
+            if lists.null_count:
                 raise ValueError(
-                    f"ragged embedding column: {flat.size} values over "
-                    f"{n} rows"
+                    f"embedding column has {lists.null_count} null "
+                    "vector(s); drop or impute them before hashing"
                 )
-            dim = flat.size // n
+            lens = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False
+            )
+            dim = int(lens[0])
+            if (lens != dim).any():
+                bad = int(lens[lens != dim][0])
+                raise ValueError(
+                    f"ragged embedding column: row lengths {dim} and "
+                    f"{bad} in one batch"
+                )
+            if expect_dim is None:
+                expect_dim = dim
+            elif dim != expect_dim:
+                raise ValueError(
+                    f"embedding dim changed across batches: "
+                    f"{expect_dim} then {dim}"
+                )
+            flat = lists.flatten().to_numpy(zero_copy_only=False)
             if dim not in planes_by_dim:
                 planes_by_dim[dim] = _plane_matrix(n_planes, dim).T
             v = flat.astype(np.float64, copy=False).reshape(n, dim)

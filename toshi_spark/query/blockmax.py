@@ -58,6 +58,11 @@ from .. import B, K1
 from ..index.blocks import HI_RANK, decode_blocks_df
 from ..scoring import idf_col, tf_norm_dyn, topk
 
+# max candidate-block metadata rows collected driver-side by job 1;
+# past this the distributed window plan takes over (10^9+ doc terms).
+# Enforced exactly via limit(), not estimated — see _block_bounds.
+COLLECT_BOUND = 1_000_000
+
 
 def _avgdl_for(fieldstats: DataFrame | float, field: str) -> float:
     """Query-time avgdl as a scalar (fieldstats is literal metadata —
@@ -140,15 +145,24 @@ def _block_bounds(
         .withColumn("hi_n", hi_n)
     )
 
-    # job 1: per-term (τ_t, max_ub) off metadata columns only.  The
-    # candidate metadata has ≤ len(terms)·(n_docs/BLOCK_SIZE + salts)
-    # rows — when that bound is collectable, a plain scan+collect (no
+    # job 1: per-term (τ_t, max_ub) off metadata columns only.  When the
+    # candidate metadata is collectable, a plain scan+collect (no
     # exchanges) beats the window plan's two shuffles; past the bound
     # (10^9+ doc terms) the distributed window is the scale shape.
-    max_meta_rows = len(terms) * (n_docs // 128 + 64)
+    # The bound is enforced EXACTLY via limit(bound+1) — an a-priori
+    # estimate under-counts partial blocks (each (term, salt, segment)
+    # run ends in one): with 16 salts × many flush/merge segments the
+    # real row count can exceed len(terms)·(n_docs/128 + c) and
+    # pressure driver memory.  limit() collects incrementally, so the
+    # overflow probe costs at most one extra partition scan before
+    # falling back to the distributed plan.
     dfs: dict[str, int] = {}
-    if max_meta_rows <= 1_000_000:
-        rows = meta.select("term", "df", "hi", "hi_n", "ub").collect()
+    rows = (
+        meta.select("term", "df", "hi", "hi_n", "ub")
+        .limit(COLLECT_BOUND + 1)
+        .collect()
+    )
+    if len(rows) <= COLLECT_BOUND:
         by_term: dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)

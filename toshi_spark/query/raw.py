@@ -63,7 +63,7 @@ _RANGE_RE = re.compile(
 )
 
 _BOOST_RE = re.compile(r"\^(?P<boost>\d+(?:\.\d+)?)")
-_FUZZY_RE = re.compile(r"~(?P<d>\d)?")
+_FUZZY_RE = re.compile(r"~(?P<d>\d+)?")
 
 # term text may contain intra-word '-' and '.' (the analyzer splits
 # them); it may not START with '-' so the MustNot operator still
@@ -230,6 +230,14 @@ class _Parser:
         if mf and not quoted:
             self.pos = mf.end()
             dist = int(mf.group("d")) if mf.group("d") else 2
+            if dist > 2:
+                # Lucene caps fuzzy edit distance at 2; a bigger digit
+                # string (e.g. `spark~10`) previously misparsed as
+                # distance 1 + a new bare term "0" — reject loudly
+                raise QueryError(
+                    f"Fuzzy distance {dist} out of range (max 2): "
+                    f"{self.raw}"
+                )
             per = [
                 FuzzyQuery(f, value.lower(), distance=dist,
                            transposition=True)
