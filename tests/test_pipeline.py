@@ -287,6 +287,37 @@ def test_ivf_ann(spark):
     assert assign.select("vec_id").distinct().count() == emb.count()
 
 
+def test_ivf_clustered_serving_path_identical(spark):
+    """The inverted-list serving artifact (ivf_cluster) returns the
+    same top-k as the id-semi-join path, and holds every vector once."""
+    from toshi_spark.pipeline.similarity import (
+        ivf_assign,
+        ivf_cluster,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    assign, cents = ivf_assign(emb, k_cells=16)
+    clustered = ivf_cluster(emb, assign, k_cells=16).persist()
+    try:
+        assert clustered.count() == emb.count()
+        base = ivf_topk(emb, query_vec_id=0, k=10, k_cells=16, nprobe=4,
+                        index=(assign, cents)).collect()
+        fast = ivf_topk(emb, query_vec_id=0, k=10, k_cells=16, nprobe=4,
+                        index=(assign, cents),
+                        clustered=clustered).collect()
+        assert [(r.vec_id, r.cos_sim) for r in base] == [
+            (r.vec_id, r.cos_sim) for r in fast]
+        # missing query id fails loudly instead of returning empty
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="not found"):
+            ivf_topk(emb, query_vec_id=10**12, k=5, k_cells=16, nprobe=4,
+                     index=(assign, cents), clustered=clustered)
+    finally:
+        clustered.unpersist()
+
+
 def test_stream_windowed_counts_watermark_drops_late(spark, tmp_path_factory):
     """Watermarked tumbling-window aggregation: windows emit exactly
     once when the watermark passes their end; an event arriving later

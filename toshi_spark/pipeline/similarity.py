@@ -33,18 +33,36 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k vs one stored vector (brute force)."""
-    qvec = emb.filter(F.col(id_col) == query_vec_id).select(
-        _as_double(F.col(vec_col)).alias("qe")
-    )
+    """Exact cosine top-k vs one stored vector (brute force).
+
+    ``query_vec`` optionally supplies the query embedding as driver-side
+    values — the scoring pass then inlines it (and its norm) as
+    LITERALS, so the plan is a single map-over-scan + distributed top-k
+    with no broadcast subplan to schedule.  Callers that already hold
+    the vector (e.g. the IVF probe) should pass it; the default path
+    reads it from the candidate set via a 1-row broadcast.
+    """
     v = _as_double(F.col(vec_col))
-    scored = emb.crossJoin(F.broadcast(qvec)).select(
+    if query_vec is None:
+        qvec = emb.filter(F.col(id_col) == query_vec_id).select(
+            _as_double(F.col(vec_col)).alias("qe")
+        )
+        base = emb.crossJoin(F.broadcast(qvec))
+        qe = F.col("qe")
+        qnorm = F.sqrt(_dot(qe, qe))
+    else:
+        base = emb
+        qe = F.array(*[F.lit(float(x)) for x in query_vec])
+        # same left-to-right fold as the SQL aggregate
+        acc = 0.0
+        for x in query_vec:
+            acc += float(x) * float(x)
+        qnorm = F.lit(acc ** 0.5)
+    scored = base.select(
         F.col(id_col).alias("vec_id"),
-        (
-            _dot(v, F.col("qe"))
-            / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qe"), F.col("qe"))))
-        ).alias("cos_sim"),
+        (_dot(v, qe) / (F.sqrt(_dot(v, v)) * qnorm)).alias("cos_sim"),
     )
     return (
         scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
@@ -384,6 +402,26 @@ def ivf_assign(
     return a2, c2
 
 
+def ivf_cluster(
+    emb: DataFrame,
+    assign: DataFrame,
+    k_cells: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The IVF SERVING artifact: vectors co-located by cell (FAISS
+    inverted lists).  A probe then reads only the probed cells'
+    partitions/batches instead of semi-joining ids across the whole
+    corpus — at 100 TB this is the difference between scanning
+    nprobe/k_cells of the data and shuffling all of it.  Persist (or
+    write partitioned by ``cell``) and hand to ``ivf_topk``."""
+    vec_col = [c for c in emb.columns if c != id_col][0]
+    return (
+        emb.join(assign, emb[id_col] == assign["vec_id"])
+        .select(assign["vec_id"], emb[vec_col], assign["cell"])
+        .repartition(k_cells, "cell")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_vec_id: int,
@@ -393,6 +431,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: tuple | None = None,
+    clustered: DataFrame | None = None,
 ) -> DataFrame:
     """ANN via IVF: probe the nprobe cells whose centroids are nearest
     the query (cosine, ties → smallest cell id), exact cosine inside.
@@ -405,48 +444,66 @@ def ivf_topk(
     centroid table is metadata.  Brute-force `cosine_topk` is the
     recall baseline; this is the scale path alongside the LSH variant.
 
-    The whole probe is lazy: centroids are a literal local relation,
-    the query vector is a 1-row broadcast subplan, and cell ranking is
-    a tiny crossJoin + limit — ZERO driver actions before the job.
+    Cell ranking happens DRIVER-SIDE (the blockmax job-1 pattern): the
+    centroids are already a ≤k_cells driver-side dict, so the only
+    cluster work before the probe is ONE pushed-filter collect of the
+    1-row query vector — metadata-scale, like a dictionary lookup.
+    The probed cell ids and the query vector then inline as LITERALS:
+    the probe job is filter(assign) → semi-join → map → top-k with no
+    broadcast subplans to schedule (a crossJoin+orderBy+limit centroid
+    subplan added ~1 s of pure scheduling overhead per query at local
+    scale, and its exchanges would be dead weight on a cluster too).
     """
     assign, centroids = (
         index if index is not None
         else ivf_assign(emb, k_cells, id_col, vec_col)
     )
     spark = emb.sparkSession
-    cent_df = spark.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in sorted(centroids.items())],
-        "cell long, centroid array<double>",
-    )
-    qvec = emb.filter(F.col(id_col) == query_vec_id).select(
-        _as_double(F.col(vec_col)).alias("qe")
-    )
-    cv = F.col("centroid")
-    ranked = (
-        cent_df.crossJoin(F.broadcast(qvec))
-        .select(
-            "cell",
-            (
-                _dot(cv, F.col("qe"))
-                / (F.sqrt(_dot(cv, cv)) + F.lit(1e-300))
-            ).alias("csim"),
+    qrows = emb.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qe")
+    ).head(1)
+    if not qrows:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} not found in {id_col}"
         )
-        .orderBy(F.col("csim").desc(), F.col("cell").asc())
-        .limit(nprobe)
-        .select("cell")
-    )
-    # the query vector itself always qualifies (cosine_topk reads the
-    # query embedding from the candidate set)
-    probe_ids = assign.join(F.broadcast(ranked), "cell", "left_semi").select(
-        "vec_id"
-    )
+    q = [float(x) for x in qrows[0]["qe"]]
+    ranked = []
+    for c, v in sorted(centroids.items()):
+        dot = 0.0
+        sq = 0.0
+        for x, y in zip(q, v):  # same fold as the SQL aggregate
+            dot += x * float(y)
+            sq += float(y) * float(y)
+        ranked.append((-(dot / (sq ** 0.5 + 1e-300)), int(c)))
+    cells = [c for _, c in sorted(ranked)[:nprobe]]
+    if clustered is not None:
+        # inverted-list path: ONE fused filter+score stage over the
+        # cell-clustered table; the `vec_id == query` OR keeps the
+        # query row a candidate even if a float tie ever ranked its
+        # own cell out (same safeguard as the oracle's OR vec_id = q)
+        cand = clustered.filter(
+            F.col("cell").isin(cells)
+            | (F.col("vec_id") == query_vec_id)
+        ).select(F.col("vec_id").alias(id_col), vec_col)
+        return cosine_topk(cand, query_vec_id, k, id_col, vec_col,
+                           query_vec=q)
+    probe_ids = assign.filter(
+        F.col("cell").isin(cells)
+    ).select("vec_id")
+    # the query vector itself always qualifies
     cand_ids = probe_ids.unionByName(
         spark.createDataFrame([(int(query_vec_id),)], "vec_id long")
     )
+    # broadcast the candidate ids: without the hint the semi-join
+    # shuffles the FULL embedding table on vec_id — at 100 TB that
+    # shuffle is the whole corpus, while the probed ids are ~nprobe/
+    # k_cells of it (cells are sized ~sqrt(n) in a real deployment)
     cand = emb.join(
-        cand_ids, emb[id_col] == cand_ids["vec_id"], "left_semi"
+        F.broadcast(cand_ids), emb[id_col] == cand_ids["vec_id"],
+        "left_semi"
     )
-    return cosine_topk(cand, query_vec_id, k, id_col, vec_col)
+    return cosine_topk(cand, query_vec_id, k, id_col, vec_col,
+                       query_vec=q)
 
 
 def lsh_cosine_topk(

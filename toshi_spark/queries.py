@@ -627,7 +627,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     built once per sf_dir and cached, like get_index/_get_blocks; the
     query pays only the probe + exact cosine inside probed cells.
     """
-    from .pipeline.similarity import ivf_assign, ivf_topk
+    from .pipeline.similarity import ivf_assign, ivf_cluster, ivf_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
@@ -635,9 +635,15 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, id(spark.sparkContext))
     if key not in _IVF_CACHE:
         assign, cents = ivf_assign(emb, k_cells=16)
-        _IVF_CACHE[key] = (assign.persist(), cents)
+        # serve from the INVERTED-LIST artifact: vectors co-located by
+        # cell (the layout a durable IVF index is written in), so a
+        # probe is one fused filter+score stage over ~nprobe/k_cells
+        # of the data instead of an id semi-join across all of it
+        clustered = ivf_cluster(emb, assign, k_cells=16).persist()
+        _IVF_CACHE[key] = (assign, cents, clustered)
+    assign, cents, clustered = _IVF_CACHE[key]
     return ivf_topk(emb, query_vec_id=0, k=10, k_cells=16, nprobe=4,
-                    index=_IVF_CACHE[key])
+                    index=(assign, cents), clustered=clustered)
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
