@@ -55,6 +55,21 @@ BENCH_QUERIES = [
     "pii_scrub",
     "boilerplate_strip",
     "chunk_documents",
+    # round 4: the full 46-query oracle contract is timed — a perf
+    # regression in any driver-checked query now shows up here
+    "ft_term_bm25_quantized",
+    "ft_termstats",
+    "ft_doclens",
+    "lsh_pairs",
+    "ngram_jaccard",
+    "ann_lsh_buckets",
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frames",
+    "ft_raw_fuzzy",
+    "ft_delete_visibility",
+    "dedup_survivors",
 ]
 
 
@@ -62,6 +77,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    missing = sorted(set(QUERIES) - set(BENCH_QUERIES))
+    if missing:
+        print(f"WARNING: unbenched queries: {missing}", file=sys.stderr)
 
     spark = get_spark("toshi_spark_bench", cores=cpus)
 
@@ -91,6 +110,14 @@ def main() -> None:
             trials.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(trials), 4)
 
+    # ---- block-max pruning effectiveness on a crawl-shaped corpus.
+    # The sf-dir documents table is flat (no host locality), where block
+    # impact bounds are near-uniform and pruning is structurally ~0%
+    # (BASELINE.md).  Real crawls cluster page length + topic by host,
+    # which is what gives blocks distinct bounds — measure on that
+    # shape so the pruned path's cost model is a number, not a claim.
+    skew = _blockmax_skewed(spark)
+
     total = round(build_sec + sum(timings.values()), 4)
     out = {
         "metric": (
@@ -110,9 +137,74 @@ def main() -> None:
                 statistics.median(timings.values()), 4
             ),
             "cpus": cpus,
+            "blockmax_skewed": skew,
         },
     }
     print(json.dumps(out))
+
+
+def _blockmax_skewed(spark) -> dict:
+    """Build a 40k-doc site-skewed index and measure pruning + latency
+    for representative query shapes (pruned-% = postings not decoded)."""
+    from pyspark.sql import functions as F
+
+    from toshi_spark.fixtures import synth_webtext_skewed
+    from toshi_spark.index.blocks import encode_blocks_df
+    from toshi_spark.index.builder import build_index, salted_postings
+    from toshi_spark.index.docmap import assign_doc_ids
+    from toshi_spark.query.blockmax import (
+        blockmax_prune_stats,
+        blockmax_topk,
+    )
+
+    t0 = time.perf_counter()
+    corpus = assign_doc_ids(
+        synth_webtext_skewed(spark, 40000, seed=42), order_col="url"
+    )
+    ix = build_index(corpus, id_col="doc_id", text_fields="text")
+    salted = salted_postings(ix.postings, ix.termstats,
+                             df_threshold=10000, n_salts=4)
+    avgdl = {r["field"]: float(r["avgdl"])
+             for r in ix.fieldstats.collect()}
+    blocks = encode_blocks_df(salted, avgdl).repartition(8).persist()
+    n_blocks = blocks.count()
+    build_sec = time.perf_counter() - t0
+
+    shapes = {
+        "stopword": ["w0"],
+        "stop+stop": ["w0", "w1"],
+        "stop+mid": ["w0", "w97"],
+        "stop+mid+rare": ["w0", "w97", "w1497"],
+        "mid+mid": ["w97", "w99"],
+    }
+    out: dict = {"n_docs": 40000, "n_blocks": n_blocks,
+                 "skewed_build_sec": round(build_sec, 2), "shapes": {}}
+    for label, terms in shapes.items():
+        st = blockmax_prune_stats(
+            blocks, ix.termstats, ix.fieldstats, ix.n_docs, "text",
+            terms, 20,
+        )
+        tp = sum(v["postings"] for v in st["terms"].values())
+        sp = sum(v["surviving_postings"] for v in st["terms"].values())
+        tb = sum(v["blocks"] for v in st["terms"].values())
+        sv = sum(v["survivors"] for v in st["terms"].values())
+        q = lambda: blockmax_topk(  # noqa: E731
+            blocks, ix.termstats, ix.doclens, ix.fieldstats, ix.n_docs,
+            "text", terms, 20,
+        ).collect()
+        q()  # warm
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q()
+            trials.append(time.perf_counter() - t0)
+        out["shapes"][label] = {
+            "pruned_postings_pct": round(100 * (1 - sp / tp), 1),
+            "pruned_blocks_pct": round(100 * (1 - sv / tb), 1),
+            "query_sec": round(statistics.median(trials), 4),
+        }
+    blocks.unpersist()
+    return out
 
 
 if __name__ == "__main__":

@@ -280,3 +280,46 @@ def test_golden_file_byte_identity():
         assert len(toks) == row["n_tokens"]
         assert [list(x) for x in toks[:8]] == row["tokens_head"]
         assert hashlib.md5(repr(toks).encode()).hexdigest() == row["tokens_md5"]
+
+
+def test_multivalue_position_gap_is_tantivy_scheme():
+    """POSITION_GAP = 2 (tantivy segment_writer.rs): value k+1's first
+    token at last_position(value k) + 2 — one empty slot between
+    values, so phrases never match across a boundary."""
+    from toshi_spark.analyzer import analyze_multi, get_analyzer
+
+    analyze = get_analyzer("default")
+    agg, kept = analyze_multi(analyze, ["alpha beta", "gamma delta"])
+    assert agg == {"alpha": [0], "beta": [1], "gamma": [3],
+                   "delta": [4]}
+    assert kept == 4
+    # three values chain the same rule
+    agg, _ = analyze_multi(analyze, ["a b", "c", "d e"])
+    assert agg == {"a": [0], "b": [1], "c": [3], "d": [5], "e": [6]}
+
+
+def test_phrase_does_not_match_across_value_boundary(spark):
+    from toshi_spark.engine import FullTextIndex
+    from toshi_spark.schema import FieldSpec, IndexSchema
+
+    schema = IndexSchema([
+        FieldSpec("tags", "text", stored=True, indexed=True,
+                  positions=True),
+    ])
+    docs = spark.createDataFrame(
+        [(0, ["red fox", "jumps high"]), (1, ["red fox jumps"])],
+        "doc_id long, tags array<string>",
+    )
+    ix = FullTextIndex.build(spark, docs, schema, id_col="doc_id",
+                             name="mv")
+    within = ix.search_json(
+        {"query": {"phrase": {"tags": {"terms": ["red", "fox"]}}},
+         "limit": 10})
+    assert within.hits == 2  # phrase inside one value matches both
+    across = ix.search_json(
+        {"query": {"phrase": {"tags": {"terms": ["fox", "jumps"]}}},
+         "limit": 10})
+    # doc 0 has 'fox' ending value 0 and 'jumps' starting value 1 —
+    # the gap keeps them 2 apart, so only doc 1 (single value) matches
+    assert across.hits == 1
+    assert across.docs[0].doc["tags"] == "red fox jumps"

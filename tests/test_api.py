@@ -161,3 +161,43 @@ def test_raw_range_syntax(api):
         "POST", "/test_index", {"query": {"raw": "test_u64:[13 TO *]"}}
     )
     assert resp["hits"] >= 2
+
+
+def test_bulk_distributed_multi_mb_body(spark, tmp_path_factory):
+    """A multi-MB NDJSON body routes through the distributed
+    parse+validate path; docs become visible after flush, and a bad
+    line anywhere in a big body rolls back the whole batch."""
+    cat = IndexCatalog(spark, str(tmp_path_factory.mktemp("api_big")))
+    a = ToshiApi(cat, bulk_distributed_bytes=1 << 20)  # 1 MB trigger
+    code, _ = a.handle("PUT", "/big/_create", SCHEMA_BODY)
+    assert code == 201
+    pad = "lorem ipsum " * 40  # ~480 bytes/doc
+    n = 4000  # ~2 MB body > 1 MB threshold
+    body = "\n".join(
+        json.dumps({"test_text": f"doc {i} {pad}", "test_i64": i,
+                    "test_u64": i, "test_unindex": "x",
+                    "test_facet": "/a/b"})
+        for i in range(n)
+    )
+    assert len(body) > (1 << 20)
+    code, resp = a.handle("POST", "/big/_bulk", body)
+    assert code == 201 and resp["docs"] == n
+    code, resp = a.handle("GET", "/big/_flush")
+    assert code == 200 and resp["opstamp"] == n
+    code, resp = a.handle("POST", "/big",
+                          {"query": None, "limit": n + 10})
+    assert code == 200 and resp["hits"] == n
+
+    # all-or-nothing: one invalid doc (negative u64) deep in a big body
+    bad_body = body + "\n" + json.dumps(
+        {"test_text": "bad", "test_i64": 1, "test_u64": -5,
+         "test_unindex": "x", "test_facet": "/a/b"}
+    )
+    code, resp = a.handle("POST", "/big/_bulk", bad_body)
+    assert code == 400 and "Error Parsing Json" in resp["message"]
+    # nothing staged: flush is a no-op and hit count is unchanged
+    code, resp = a.handle("GET", "/big/_flush")
+    assert code == 200
+    code, resp = a.handle("POST", "/big",
+                          {"query": None, "limit": n + 10})
+    assert resp["hits"] == n

@@ -152,3 +152,55 @@ def test_prune_stats_skewed_corpus_prunes(spark):
                         ix.n_docs, "body", ["needle"], 5).collect()
     assert {r["doc_id"] for r in got} <= set(range(2000, 2064))
     assert len(got) == 5
+
+
+def test_blockmax_prunes_on_sitewise_skewed_webtext(spark):
+    """The headline scale claim, measured: on a corpus with crawl-order
+    host locality (synth_webtext_skewed — per-site page-length classes
+    and topic bursts), block-max pruning cuts most postings for
+    head-term queries AND for unions (via the seed-θ + overlap-rest
+    machinery), with rank identity against the full-decode path."""
+    from toshi_spark.fixtures import synth_webtext_skewed
+    from toshi_spark.index.blocks import encode_blocks_df
+    from toshi_spark.index.builder import build_index, salted_postings
+    from toshi_spark.index.docmap import assign_doc_ids
+    from toshi_spark.query.blockmax import (
+        blockmax_prune_stats,
+        blockmax_topk,
+    )
+
+    corpus = assign_doc_ids(
+        synth_webtext_skewed(spark, 20000, seed=42), order_col="url"
+    )
+    ix = build_index(corpus, id_col="doc_id", text_fields="text")
+    salted = salted_postings(ix.postings, ix.termstats,
+                             df_threshold=8000, n_salts=4)
+    avgdl = {r["field"]: float(r["avgdl"])
+             for r in ix.fieldstats.collect()}
+    blocks = encode_blocks_df(salted, avgdl).repartition(4).persist()
+    try:
+        for terms, min_pruned in [(["w0"], 0.5), (["w0", "w1"], 0.2)]:
+            st = blockmax_prune_stats(
+                blocks, ix.termstats, ix.fieldstats, ix.n_docs,
+                "text", terms, 20,
+            )
+            tp = sum(v["postings"] for v in st["terms"].values())
+            sp = sum(v["surviving_postings"]
+                     for v in st["terms"].values())
+            pruned = 1 - sp / tp
+            assert pruned >= min_pruned, (terms, pruned, st)
+            got = blockmax_topk(
+                blocks, ix.termstats, ix.doclens, ix.fieldstats,
+                ix.n_docs, "text", terms, 20,
+            ).collect()
+            matched = ix.postings.filter(F.col("term").isin(terms))
+            want = topk(
+                bm25_score(matched, ix.doclens, ix.termstats,
+                           ix.n_docs, ix.fieldstats),
+                20,
+            ).collect()
+            assert [r.doc_id for r in got] == [r.doc_id for r in want]
+            for g, w in zip(got, want):
+                assert abs(g.score - w.score) < 1e-9
+    finally:
+        blocks.unpersist()

@@ -196,9 +196,12 @@ def analyze_multi(analyze, value) -> tuple[dict[str, list[int]], int]:
 
     Tantivy documents may carry several values per field
     (``FlatNamedDocument``, toshi-types/src/query/mod.rs:322-338);
-    each value is analyzed separately and positions continue with a
-    +1 gap between values so phrases never match across value
-    boundaries.  doc_len is the total kept-token count.
+    each value is analyzed separately and positions continue across
+    values with Tantivy's POSITION_GAP = 2 scheme (tantivy
+    ``src/indexer/segment_writer.rs``): value k+1's first token sits at
+    ``last_position(value k) + 2``, leaving exactly one empty position
+    between values, so an adjacent-position phrase can never match
+    across a value boundary.  doc_len is the total kept-token count.
     """
     if isinstance(value, str) or value is None:
         return analyze(value if isinstance(value, str) else "")

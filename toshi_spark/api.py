@@ -29,6 +29,11 @@ from .schema import IndexSchema, QueryError
 
 DEFAULT_MAX_LINE_LENGTH = 10_000  # LinesCodec default, bulk.rs framing
 
+# bodies above this parse/validate DISTRIBUTED (the reference fans
+# parsing out to N tasks, bulk.rs:37-54; a driver-side json.loads loop
+# over a multi-MB body is a bottleneck the reference does not have)
+DEFAULT_BULK_DISTRIBUTED_BYTES = 4 << 20
+
 
 def validate_document(schema: IndexSchema, doc: dict[str, Any]) -> None:
     """Schema validation mirroring ``schema.parse_document`` failures
@@ -60,7 +65,9 @@ def validate_document(schema: IndexSchema, doc: dict[str, Any]) -> None:
 class ToshiApi:
     def __init__(self, catalog: IndexCatalog,
                  max_line_length: int = DEFAULT_MAX_LINE_LENGTH,
-                 merge_policy: dict | None = None):
+                 merge_policy: dict | None = None,
+                 bulk_distributed_bytes: int =
+                 DEFAULT_BULK_DISTRIBUTED_BYTES):
         """``merge_policy`` mirrors the server-config merge settings
         (settings.rs:47-49: kind log/none + log parameters) — in Toshi
         the policy is server configuration, not part of the create
@@ -68,6 +75,7 @@ class ToshiApi:
         self.catalog = catalog
         self.max_line_length = max_line_length
         self.merge_policy = merge_policy
+        self.bulk_distributed_bytes = bulk_distributed_bytes
 
     # -------------------------------------------------------- dispatch
 
@@ -145,10 +153,20 @@ class ToshiApi:
     def _bulk(self, index: str, body: Any) -> tuple[int, Any]:
         """NDJSON bulk: frame lines, parse+validate ALL before any add —
         a single bad line rolls back the entire batch (bulk.rs:121-129).
+
+        Bodies above ``bulk_distributed_bytes`` parse and validate as a
+        Spark job (the reference fans parsing out to N tasks,
+        bulk.rs:37-54): line framing and the length cap stay driver-side
+        (cheap C string ops), the json.loads + schema validation — the
+        CPU-heavy part — runs distributed, and NOTHING is staged until
+        every line validated, so the all-or-nothing contract is
+        unchanged.
         """
         self._require(index)
         schema = self.catalog.schema(index)
         text = body if isinstance(body, str) else (body or b"").decode("utf-8")
+        if len(text) > self.bulk_distributed_bytes:
+            return self._bulk_distributed(index, schema, text)
         docs: list[dict] = []
         for ln, line in enumerate(text.splitlines(), 1):
             if not line.strip():
@@ -168,3 +186,48 @@ class ToshiApi:
         for doc in docs:
             self.catalog.add_document(index, doc, commit=False)
         return 201, {"docs": len(docs)}
+
+    def _bulk_distributed(self, index: str, schema: IndexSchema,
+                          text: str) -> tuple[int, Any]:
+        lines = []
+        for ln, line in enumerate(text.splitlines(), 1):
+            if not line.strip():
+                continue
+            if len(line) > self.max_line_length:
+                return 400, {"message": f"line {ln} exceeds max line length"}
+            lines.append(line)
+        if not lines:
+            return 201, {"docs": 0}
+        spark = self.catalog.spark
+        n_slices = min(
+            spark.sparkContext.defaultParallelism,
+            max(1, len(lines) // 1000),
+        )
+        ldf = spark.createDataFrame(
+            [(line,) for line in lines], "line string"
+        ).repartition(n_slices)
+
+        def check(batches):
+            import json as _json
+
+            import pandas as _pd
+
+            for pdf in batches:
+                errs = []
+                for line in pdf["line"]:
+                    try:
+                        doc = _json.loads(line)
+                        validate_document(schema, doc)
+                        errs.append(None)
+                    except Exception as e:  # json or schema error
+                        errs.append(str(e))
+                out = _pd.DataFrame({"err": errs})
+                yield out[out["err"].notna()]
+
+        bad = ldf.mapInPandas(check, "err string").limit(1).collect()
+        if bad:
+            return 400, {"message": f"Error Parsing Json: '{bad[0]['err']}'"}
+        # every line validated — stage the batch (raw lines; flush
+        # parses the pending buffer when building the micro-segment)
+        self.catalog.stage_pending_lines(index, lines)
+        return 201, {"docs": len(lines)}

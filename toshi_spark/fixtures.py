@@ -108,3 +108,90 @@ def synth_webtext(
             yield _gen_batch(pdf["id"].values, seed)
 
     return base.mapInPandas(gen, WEBTEXT_SCHEMA)
+
+
+SITE_DOCS = 2048  # crawl locality: contiguous docs share a host
+
+
+def _site_params(global_seed: int, site: int, vocab_len: int):
+    """Deterministic per-site shape: page-length scale, topic words and
+    burst rate — the host-level locality real crawls have (pages of one
+    host share templates/length and subject matter)."""
+    rng = np.random.RandomState(_doc_seed(global_seed * 7919 + 13, site))
+    u = rng.rand()
+    if u < 0.5:
+        lo, hi = 15, 80  # link farms / stubs
+    elif u < 0.8:
+        lo, hi = 100, 400  # articles
+    else:
+        lo, hi = 600, 2000  # longform / dumps
+    ranks = np.arange(1.0, vocab_len + 1.0)
+    probs = (1.0 / ranks) / np.sum(1.0 / ranks)
+    topics = rng.choice(vocab_len, size=3, replace=False, p=probs)
+    burst = 0.2 + 0.3 * rng.rand()
+    return lo, hi, topics, burst
+
+
+def _gen_batch_skewed(idx: np.ndarray, seed: int,
+                      site_docs: int = SITE_DOCS) -> pd.DataFrame:
+    vocab = np.array(_vocab())
+    ranks = np.arange(1.0, len(vocab) + 1.0)
+    probs = (1.0 / ranks) / np.sum(1.0 / ranks)
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for i in idx:
+        i = int(i)
+        site = i // site_docs
+        lo, hi, topics, burst = _site_params(seed, site, len(vocab))
+        rng = np.random.RandomState(_doc_seed(seed, i))
+        n_tokens = int(rng.randint(lo, hi + 1))
+        base = rng.choice(len(vocab), size=n_tokens, p=probs)
+        topical = rng.rand(n_tokens) < burst
+        base[topical] = topics[rng.randint(0, len(topics), topical.sum())]
+        words = list(vocab[base])
+        words.append(f"marker{i:08d}")
+        sep_pool = [" ", " ", " ", ", ", ". ", "; ", " - ", "\n"]
+        seps = rng.choice(len(sep_pool), size=len(words))
+        text = "".join(
+            w + sep_pool[int(s)] for w, s in zip(words, seps)
+        ).rstrip()
+        # url sorts by (site, page): assign_doc_ids(order_col="url")
+        # then keeps each site's pages CONTIGUOUS in doc-id space —
+        # the crawl-order locality that gives posting blocks distinct
+        # impact profiles (short-page sites' blocks score high, long-
+        # page sites' low) so block-max pruning has something to prune
+        urls.append(f"https://site-{site:07d}.test/page/{i:010d}")
+        tss.append(datetime.fromtimestamp(_EPOCH + i, tz=timezone.utc))
+        htmls.append(f"<html><body>{text}</body></html>".encode("utf-8"))
+        texts.append(text)
+        langs.append(_LANGS[i % len(_LANGS)])
+    return pd.DataFrame(
+        {"url": urls, "warc_ts": tss, "html": htmls, "text": texts, "lang": langs}
+    )
+
+
+def synth_webtext_skewed(
+    spark: SparkSession, n_docs: int, seed: int = 42,
+    partitions: int | None = None, site_docs: int = SITE_DOCS,
+) -> DataFrame:
+    """Web corpus with HOST-LEVEL skew (same schema as synth_webtext).
+
+    The flat generator's tf/doc-length variation is uncorrelated with
+    doc order, so every posting block carries near-identical BM25
+    impact bounds and block-max pruning has nothing to cut (measured
+    0% in round 3).  Real crawls are different: pages of one host are
+    adjacent in crawl order and share page-length scale and topic
+    vocabulary.  This generator reproduces that — contiguous
+    ``SITE_DOCS``-page sites with a per-site length class (15-80 /
+    100-400 / 600-2000 tokens), 3 Zipf-drawn topic words and a 20-50%
+    topic-burst rate — which is what gives blocks genuinely different
+    (max_tfn, dl-range) bounds at build time.
+    """
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_docs, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gen_batch_skewed(pdf["id"].values, seed, site_docs)
+
+    return base.mapInPandas(gen, WEBTEXT_SCHEMA)

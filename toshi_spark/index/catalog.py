@@ -171,6 +171,21 @@ class IndexCatalog:
         if commit:
             self.flush(name)
 
+    def stage_pending_lines(self, name: str, lines: list[str]) -> None:
+        """Append pre-validated NDJSON lines to the pending buffer in
+        one sequential write (the distributed-bulk staging path: the
+        API layer has already parsed+validated every line in a Spark
+        job, so re-serializing per doc through add_document would only
+        add a driver-side JSON round-trip).  Opstamp advances by one
+        per doc, same as per-doc adds."""
+        pending = os.path.join(self._dir(name), "pending.jsonl")
+        with open(pending, "a") as f:
+            for line in lines:
+                f.write(line.rstrip("\n") + "\n")
+        meta = self._meta(name)
+        meta["opstamp"] = int(meta.get("opstamp", 0)) + len(lines)
+        self._save_meta(name, meta)
+
     def flush(self, name: str) -> int:
         """POST /{index}/_flush (handlers/summary.rs:35-46).
 

@@ -13,6 +13,13 @@ comes from block METADATA alone (no seed decode), so the plan is:
            output row per query term, collected to the driver.  This
            is a METADATA-scale collect, like fieldstats: at 10^12 docs
            it reduces ~df/128 skip entries per term to len(terms) rows.
+  job 1.5  exact θ from the SEED blocks: decode only the τ-defining
+           hi-desc prefix (≈⌈k/16⌉ blocks per term, metadata-chosen),
+           score exactly, keep the k-th best partial sum.  τ alone is a
+           single-term certificate and prunes nothing on multi-term
+           unions; θ captures cross-term sums (the DAAT accumulator's
+           trick, distributed) and is sound because a partial over any
+           posting subset lower-bounds the true score.  ≤ k rows back.
   job 2    survivor filter with the bounds inlined as LITERALS (no
            broadcast subplans, no extra exchanges), Arrow-decode the
            surviving payloads, exact BM25 against the broadcast query-
@@ -41,10 +48,12 @@ Bound construction:
 
       ub(block) + Σ_{t'≠t} max_ub(t') ≥ τ.
 
-Soundness: a doc only in pruned blocks has, for each query term t it
-matches, block ub below the survivor line, so its total score
-< τ ≤ kth exact score — it cannot enter the top-k.  Ties survive
-because the filter is ``>=``.
+Soundness: the threshold is θ = max(τ, k-th exact seed partial), and
+both parts lower-bound the true k-th score.  A doc only in pruned
+blocks has, for each query term t it matches, block ub below the
+survivor line, so its total score < θ ≤ kth exact score — it cannot
+enter the top-k.  Ties survive because the filter is ``>=``, and a doc
+scoring exactly θ cannot be fully pruned (its bound ≥ its score = θ).
 """
 
 from __future__ import annotations
@@ -62,6 +71,219 @@ from ..scoring import idf_col, tf_norm_dyn, topk
 # past this the distributed window plan takes over (10^9+ doc terms).
 # Enforced exactly via limit(), not estimated — see _block_bounds.
 COLLECT_BOUND = 1_000_000
+
+# max seed blocks per query term for the exact-θ pass
+_SEED_CAP = 8
+
+
+def _sparse_max_tables(vals):
+    """Sparse table for O(1) range-max over a numpy array."""
+    import numpy as np
+
+    tables = [np.asarray(vals, dtype=np.float64)]
+    j = 1
+    while (1 << j) <= len(vals):
+        prev = tables[-1]
+        half = 1 << (j - 1)
+        tables.append(np.maximum(prev[: len(prev) - half], prev[half:]))
+        j += 1
+    return tables
+
+
+def _range_max(tables, lo, hi):
+    """Vectorized inclusive range-max lookups (requires lo <= hi)."""
+    import numpy as np
+
+    span = hi - lo + 1
+    j = np.floor(np.log2(span)).astype(np.int64)
+    out = np.empty(len(lo), dtype=np.float64)
+    for jj in np.unique(j):
+        m = j == jj
+        t = tables[jj]
+        out[m] = np.maximum(t[lo[m]], t[hi[m] - (1 << int(jj)) + 1])
+    return out
+
+
+def _overlap_rest(rows, terms):
+    """Per-block rest-of-query bounds from DOC-RANGE OVERLAP.
+
+    The global form Σ_{t'≠t} max_ub(t') is sound but hopeless for
+    unions: any term whose best block alone reaches θ keeps every
+    other term's blocks alive (measured: 0% pruned on every union
+    shape).  The tight, still-sound form uses the fact that a doc in
+    block b of term t sits, for each other matched term t', in a t'
+    block that OVERLAPS b's doc range:
+
+        score(d) ≤ ub(b) + Σ_{t'≠t} max{ub(b') : b' of t', b'∩b ≠ ∅}
+
+    Per term, a (salt, segment) run's blocks are disjoint sorted
+    doc-id intervals, so each overlap query is two binary searches +
+    an O(1) sparse-table range-max — vectorized with numpy over all
+    collected blocks at once.  Returns rest as a numpy array aligned
+    with ``rows``.
+    """
+    import numpy as np
+
+    n = len(rows)
+    f = np.array([r["first_doc"] for r in rows], dtype=np.int64)
+    l = np.array([r["last_doc"] for r in rows], dtype=np.int64)
+    term_arr = np.array([r["term"] for r in rows])
+    total = np.zeros(n, dtype=np.float64)
+    own = np.zeros(n, dtype=np.float64)
+    has_seg = bool(rows) and "seg" in rows[0].__fields__
+    by_term_runs: dict[str, dict] = {}
+    for i, r in enumerate(rows):
+        runs = by_term_runs.setdefault(r["term"], {})
+        runs.setdefault(
+            (r["salt"], r["seg"] if has_seg else None), []
+        ).append(i)
+    for t, runs in by_term_runs.items():
+        contrib = np.zeros(n, dtype=np.float64)
+        for idxs in runs.values():
+            idx = np.array(idxs, dtype=np.int64)
+            order = np.argsort(f[idx], kind="stable")
+            idx = idx[order]
+            firsts = f[idx]
+            lasts = l[idx]
+            ubs = np.array([rows[i]["ub"] for i in idx], dtype=np.float64)
+            tables = _sparse_max_tables(ubs)
+            lo = np.searchsorted(lasts, f, side="left")
+            hi = np.searchsorted(firsts, l, side="right") - 1
+            valid = lo <= hi
+            if valid.any():
+                vals = _range_max(tables, lo[valid], hi[valid])
+                contrib[valid] = np.maximum(contrib[valid], vals)
+        total += contrib
+        m = term_arr == t
+        own[m] = contrib[m]
+    return total - own
+
+
+def _idf_map(dfs: dict[str, int], n_docs: int) -> Column:
+    return F.create_map(
+        *[
+            x
+            for t, df_t in dfs.items()
+            for x in (
+                F.lit(t),
+                F.lit(
+                    math.log(
+                        1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)
+                    )
+                ),
+            )
+        ]
+    )
+
+
+def _partial_scores(
+    decoded: DataFrame,
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    tf_mode: str,
+) -> DataFrame:
+    """Exact per-doc BM25 partial sums over a set of decoded postings
+    (df/idf inlined as ≤ len(terms) literals — no dictionary join)."""
+    tf = F.lit(1.0) if tf_mode == "basic" else F.col("tf").cast("double")
+    return (
+        decoded.withColumn(
+            "part_score",
+            _idf_map(dfs, n_docs)[F.col("term")]
+            * tf_norm_dyn(tf, F.col("doc_len").cast("double"),
+                          F.lit(avgdl)),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part_score").alias("score"))
+    )
+
+
+def _seed_theta(
+    meta: DataFrame,
+    seed_keys: list[str] | None,
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    tau: float,
+    tf_mode: str,
+) -> float:
+    """Tighten the pruning threshold with the real BlockWAND θ.
+
+    τ certifies k docs from SINGLE-term impact ranks only, so for
+    multi-term unions it sits below every block's rest-of-query upper
+    bound and prunes nothing (measured: 0%% on every union shape).
+    The fix is the DAAT accumulator's trick, distributed: decode the
+    τ-defining seed blocks (~⌈k/16⌉ per term — metadata-chosen, a
+    handful), score them EXACTLY, and take the k-th best partial sum.
+    A doc's partial over any posting subset lower-bounds its true
+    score, so θ = k-th partial ≤ k-th true score — a sound, and much
+    tighter, threshold: seed blocks of different terms overlap in docs
+    (topical pages use several query terms), so θ captures the
+    cross-term sums τ structurally cannot.
+    """
+    if not seed_keys:
+        return tau
+    seed = decode_blocks_df(
+        meta.filter(F.col("_bkey").isin(seed_keys)).select(
+            "field", "term", "first_doc", "doc_deltas", "tfs", "dls"
+        )
+    )
+    kth = (
+        _partial_scores(seed, dfs, n_docs, avgdl, tf_mode)
+        .orderBy(F.col("score").desc())
+        .limit(k)
+        .collect()
+    )
+    if len(kth) < k:
+        return tau
+    return max(tau, kth[-1]["score"])
+
+
+# surviving-key lists up to this size inline as an isin literal; above
+# it they ship as a broadcast local relation instead (huge IN lists
+# bloat the plan string and constant-fold slowly)
+_KEYS_INLINE_BOUND = 20_000
+
+
+def _survival_mask(meta_rows, rest_arr, theta: float):
+    """Driver-side per-block survival: ub + overlap-rest ≥ θ."""
+    import numpy as np
+
+    ub = np.array([r["ub"] for r in meta_rows], dtype=np.float64)
+    return ub + rest_arr >= theta
+
+
+def _filter_survivors(meta: DataFrame, meta_rows, rest_arr,
+                      theta: float, ub_others: dict) -> DataFrame:
+    """Survivor selection for job 2.
+
+    Collect path (block metadata driver-side): per-block OVERLAP rest
+    bounds — the tight form; surviving block keys inline as literals
+    (or a broadcast relation past _KEYS_INLINE_BOUND).  Window path
+    (10^9+-doc terms): the global Σ max_ub rest bound as a plain
+    column filter — looser but fully distributed.
+    """
+    if meta_rows is None:
+        others_map = F.create_map(
+            *[x for t, v in ub_others.items()
+              for x in (F.lit(t), F.lit(v))]
+        )
+        return meta.filter(
+            F.col("ub")
+            + F.coalesce(others_map[F.col("term")], F.lit(0.0))
+            >= F.lit(theta)
+        )
+    import numpy as np
+
+    keep = _survival_mask(meta_rows, rest_arr, theta)
+    keys = [meta_rows[i]["_bkey"] for i in np.nonzero(keep)[0]]
+    if len(keys) <= _KEYS_INLINE_BOUND:
+        return meta.filter(F.col("_bkey").isin(keys))
+    kdf = meta.sparkSession.createDataFrame(
+        [(x,) for x in keys], "_bkey string"
+    )
+    return meta.join(F.broadcast(kdf), "_bkey")
 
 
 def _avgdl_for(fieldstats: DataFrame | float, field: str) -> float:
@@ -139,10 +361,14 @@ def _block_bounds(
         ub = idf * F.col("max_tfn") * F.greatest(*corners)
         hi = idf * F.col("hi_tfn") * F.least(*corners)
         hi_n = F.least(F.col("count"), F.lit(HI_RANK)).cast("long")
+    key_cols = ["term", "salt", "block_id"]
+    if "seg" in meta.columns:
+        key_cols.append("seg")
     meta = (
         meta.withColumn("ub", ub)
         .withColumn("hi", hi)
         .withColumn("hi_n", hi_n)
+        .withColumn("_bkey", F.concat_ws("|", *key_cols))
     )
 
     # job 1: per-term (τ_t, max_ub) off metadata columns only.  When the
@@ -157,22 +383,36 @@ def _block_bounds(
     # overflow probe costs at most one extra partition scan before
     # falling back to the distributed plan.
     dfs: dict[str, int] = {}
-    rows = (
-        meta.select("term", "df", "hi", "hi_n", "ub")
-        .limit(COLLECT_BOUND + 1)
-        .collect()
-    )
+    seed_keys: list[str] | None = None
+    meta_rows = None
+    sel = ["term", "df", "hi", "hi_n", "ub", "_bkey", "salt",
+           "first_doc", "last_doc", "count"]
+    if "seg" in meta.columns:
+        sel.append("seg")
+    rows = meta.select(*sel).limit(COLLECT_BOUND + 1).collect()
+    rest_arr = None
     if len(rows) <= COLLECT_BOUND:
+        import numpy as np
+
+        meta_rows = rows
         by_term: dict[str, list] = {}
         for r in rows:
             by_term.setdefault(r["term"], []).append(r)
             dfs[r["term"]] = int(r["df"])
         taus, max_ubs = [], {}
+        seed_idx: set[int] = set()
+        order_of = {id(r): i for i, r in enumerate(rows)}
         for t, rs in by_term.items():
             rs.sort(key=lambda r: -r["hi"])
             max_ubs[t] = max(r["ub"] for r in rs)
             cum = 0
             for r in rs:
+                # τ_t's defining hi-desc prefix joins the SEED set for
+                # the exact-θ pass (the prefix is ~⌈k/16⌉ blocks; a
+                # rare term that never certifies k contributes its few
+                # blocks whole, capped)
+                if len(seed_idx) < _SEED_CAP * len(by_term):
+                    seed_idx.add(order_of[id(r)])
                 cum += r["hi_n"]
                 if cum >= k:
                     taus.append(r["hi"])
@@ -180,6 +420,36 @@ def _block_bounds(
         sum_ub = sum(max_ubs.values())
         tau = max(taus) if taus else float("-inf")
         ub_others = {t: sum_ub - v for t, v in max_ubs.items()}
+
+        # overlap-rest bounds (see _overlap_rest) — used twice: to pick
+        # JOINT seed blocks here, and for the survivor filter later
+        rest_arr = _overlap_rest(rows, sorted(by_term))
+        ub_arr = np.array([r["ub"] for r in rows], dtype=np.float64)
+        f_arr = np.array([r["first_doc"] for r in rows], dtype=np.int64)
+        l_arr = np.array([r["last_doc"] for r in rows], dtype=np.int64)
+        term_arr = np.array([r["term"] for r in rows])
+        # per-term seeds alone miss multi-term docs (each term's best
+        # block usually covers a different doc region), leaving θ a
+        # single-term number that prunes nothing on unions.  Add the
+        # blocks with the best JOINT bound (ub + overlap-rest) plus,
+        # for each, the argmax partner block per other term — decoding
+        # those materializes the cross-term sums θ needs.
+        n_joint = max(2, -(-k // HI_RANK) + 1)
+        for i in np.argsort(-(ub_arr + rest_arr))[:n_joint]:
+            i = int(i)
+            seed_idx.add(i)
+            for t2 in by_term:
+                if t2 == rows[i]["term"]:
+                    continue
+                m = (
+                    (term_arr == t2)
+                    & (f_arr <= l_arr[i])
+                    & (l_arr >= f_arr[i])
+                )
+                if m.any():
+                    cand_idx = np.nonzero(m)[0]
+                    seed_idx.add(int(cand_idx[np.argmax(ub_arr[m])]))
+        seed_keys = [rows[i]["_bkey"] for i in sorted(seed_idx)]
     else:
         w = Window.partitionBy("term").orderBy(
             F.col("hi").desc()
@@ -203,7 +473,7 @@ def _block_bounds(
         ub_others = {r["term"]: sum_ub - r["max_ub"] for r in per_term}
         dfs = {r["term"]: int(r["df"]) for r in per_term}
 
-    return meta, tau, ub_others, dfs
+    return meta, tau, ub_others, dfs, seed_keys, meta_rows, rest_arr
 
 
 def blockmax_topk(
@@ -224,49 +494,26 @@ def blockmax_topk(
     survivors needs no doclens join.
     """
     avgdl = _avgdl_for(fieldstats, field)
-    meta, tau, ub_others, dfs = _block_bounds(
-        blocks, termstats, n_docs, field, terms, k, avgdl, tf_mode
+    meta, tau, ub_others, dfs, seed_keys, meta_rows, rest_arr = (
+        _block_bounds(
+            blocks, termstats, n_docs, field, terms, k, avgdl, tf_mode
+        )
     )
-    # job 2: literal-bound survivor filter → decode → exact BM25 → top-k.
-    # df came back with job 1, so idf inlines as ≤ len(terms) literals:
-    # the scoring pass is decode → column arithmetic → one groupBy(doc)
-    # — no dictionary join at all.
-    others_map = F.create_map(
-        *[x for t, v in ub_others.items() for x in (F.lit(t), F.lit(v))]
-    )
-    survivors = meta.filter(
-        F.col("ub") + F.coalesce(others_map[F.col("term")], F.lit(0.0))
-        >= F.lit(tau)
-    )
+    # job 1.5: exact θ from the seed blocks (see _seed_theta) — a
+    # metadata-chosen handful of payloads, collected as ≤ k rows
+    theta = _seed_theta(meta, seed_keys, dfs, n_docs, avgdl, k, tau,
+                        tf_mode)
+    # job 2: survivor filter (overlap-rest bounds, _filter_survivors)
+    # → decode → exact BM25 → top-k.  df came back with job 1, so idf
+    # inlines as ≤ len(terms) literals: the scoring pass is decode →
+    # column arithmetic → one groupBy(doc) — no dictionary join at all.
+    survivors = _filter_survivors(meta, meta_rows, rest_arr, theta,
+                                  ub_others)
     decoded = decode_blocks_df(
         survivors.select("field", "term", "first_doc", "doc_deltas",
                          "tfs", "dls")
     )
-    idf_map = F.create_map(
-        *[
-            x
-            for t, df_t in dfs.items()
-            for x in (
-                F.lit(t),
-                F.lit(
-                    math.log(
-                        1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)
-                    )
-                ),
-            )
-        ]
-    )
-    tf = F.lit(1.0) if tf_mode == "basic" else F.col("tf").cast("double")
-    scored = (
-        decoded.withColumn(
-            "part_score",
-            idf_map[F.col("term")]
-            * tf_norm_dyn(tf, F.col("doc_len").cast("double"),
-                          F.lit(avgdl)),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("part_score").alias("score"))
-    )
+    scored = _partial_scores(decoded, dfs, n_docs, avgdl, tf_mode)
     return topk(scored, k)
 
 
@@ -296,35 +543,53 @@ def blockmax_prune_stats(
     THEIR corpus before trusting the pruned path's cost model.
     """
     avgdl = _avgdl_for(fieldstats, field)
-    meta, tau, ub_others, _ = _block_bounds(
-        blocks, termstats, n_docs, field, terms, k, avgdl, tf_mode
-    )
-    others_map = F.create_map(
-        *[x for t, v in ub_others.items() for x in (F.lit(t), F.lit(v))]
-    )
-    agg = (
-        meta.withColumn(
-            "survives",
-            (
-                F.col("ub")
-                + F.coalesce(others_map[F.col("term")], F.lit(0.0))
-                >= F.lit(tau)
-            ).cast("int"),
+    meta, tau, ub_others, dfs, seed_keys, meta_rows, rest_arr = (
+        _block_bounds(
+            blocks, termstats, n_docs, field, terms, k, avgdl, tf_mode
         )
-        .groupBy("term")
-        .agg(
-            F.count("*").alias("blocks"),
-            F.sum("survives").alias("survivors"),
-            F.sum("count").alias("postings"),
-            F.sum(F.col("count") * F.col("survives")).alias(
-                "surviving_postings"
-            ),
-        )
-        .collect()
     )
-    return {
-        "tau": tau,
-        "terms": {
+    theta = _seed_theta(meta, seed_keys, dfs, n_docs, avgdl, k, tau,
+                        tf_mode)
+    per_term: dict[str, dict] = {}
+    if meta_rows is not None:
+        keep = _survival_mask(meta_rows, rest_arr, theta)
+        for i, r in enumerate(meta_rows):
+            d = per_term.setdefault(
+                r["term"],
+                {"blocks": 0, "survivors": 0, "postings": 0,
+                 "surviving_postings": 0},
+            )
+            d["blocks"] += 1
+            d["postings"] += int(r["count"])
+            if keep[i]:
+                d["survivors"] += 1
+                d["surviving_postings"] += int(r["count"])
+    else:
+        others_map = F.create_map(
+            *[x for t, v in ub_others.items()
+              for x in (F.lit(t), F.lit(v))]
+        )
+        agg = (
+            meta.withColumn(
+                "survives",
+                (
+                    F.col("ub")
+                    + F.coalesce(others_map[F.col("term")], F.lit(0.0))
+                    >= F.lit(theta)
+                ).cast("int"),
+            )
+            .groupBy("term")
+            .agg(
+                F.count("*").alias("blocks"),
+                F.sum("survives").alias("survivors"),
+                F.sum("count").alias("postings"),
+                F.sum(F.col("count") * F.col("survives")).alias(
+                    "surviving_postings"
+                ),
+            )
+            .collect()
+        )
+        per_term = {
             r["term"]: {
                 "blocks": int(r["blocks"]),
                 "survivors": int(r["survivors"]),
@@ -332,5 +597,5 @@ def blockmax_prune_stats(
                 "surviving_postings": int(r["surviving_postings"]),
             }
             for r in agg
-        },
-    }
+        }
+    return {"tau": tau, "theta": theta, "terms": per_term}
