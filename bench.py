@@ -116,7 +116,12 @@ def main() -> None:
     # (BASELINE.md).  Real crawls cluster page length + topic by host,
     # which is what gives blocks distinct bounds — measure on that
     # shape so the pruned path's cost model is a number, not a claim.
-    skew = _blockmax_skewed(spark)
+    # fail-soft: the headline bench line must print even if this
+    # auxiliary measurement breaks
+    try:
+        skew = _blockmax_skewed(spark)
+    except Exception as e:  # pragma: no cover
+        skew = {"error": str(e)}
 
     total = round(build_sec + sum(timings.values()), 4)
     out = {

@@ -224,8 +224,23 @@ def _seed_theta(
     """
     if not seed_keys:
         return tau
+    # OR-of-conjunctions over STORED columns (not the derived _bkey):
+    # parquet pushes these to row-group stats, so at 10^12-doc scale
+    # the seed job reads ~|seed| blocks' payloads, not the whole
+    # candidate term's
+    has_seg = "seg" in meta.columns
+    cond = None
+    for r in seed_keys:
+        c = (
+            (F.col("term") == r["term"])
+            & (F.col("salt") == r["salt"])
+            & (F.col("block_id") == r["block_id"])
+        )
+        if has_seg:
+            c = c & (F.col("seg") == r["seg"])
+        cond = c if cond is None else (cond | c)
     seed = decode_blocks_df(
-        meta.filter(F.col("_bkey").isin(seed_keys)).select(
+        meta.filter(cond).select(
             "field", "term", "first_doc", "doc_deltas", "tfs", "dls"
         )
     )
@@ -241,9 +256,10 @@ def _seed_theta(
 
 
 # surviving-key lists up to this size inline as an isin literal; above
-# it they ship as a broadcast local relation instead (huge IN lists
-# bloat the plan string and constant-fold slowly)
-_KEYS_INLINE_BOUND = 20_000
+# it they ship as a broadcast local relation instead (a py4j transfer
+# of thousands of literals costs seconds per job; the Arrow-backed
+# local relation does not)
+_KEYS_INLINE_BOUND = 1_000
 
 
 def _survival_mask(meta_rows, rest_arr, theta: float):
@@ -277,11 +293,17 @@ def _filter_survivors(meta: DataFrame, meta_rows, rest_arr,
     import numpy as np
 
     keep = _survival_mask(meta_rows, rest_arr, theta)
+    if keep.all():
+        # nothing pruned (flat corpora) — skip the key filter entirely
+        # rather than paying a no-op membership test over every block
+        return meta
     keys = [meta_rows[i]["_bkey"] for i in np.nonzero(keep)[0]]
     if len(keys) <= _KEYS_INLINE_BOUND:
         return meta.filter(F.col("_bkey").isin(keys))
+    import pandas as pd
+
     kdf = meta.sparkSession.createDataFrame(
-        [(x,) for x in keys], "_bkey string"
+        pd.DataFrame({"_bkey": keys})
     )
     return meta.join(F.broadcast(kdf), "_bkey")
 
@@ -386,7 +408,7 @@ def _block_bounds(
     seed_keys: list[str] | None = None
     meta_rows = None
     sel = ["term", "df", "hi", "hi_n", "ub", "_bkey", "salt",
-           "first_doc", "last_doc", "count"]
+           "block_id", "first_doc", "last_doc", "count"]
     if "seg" in meta.columns:
         sel.append("seg")
     rows = meta.select(*sel).limit(COLLECT_BOUND + 1).collect()
@@ -449,7 +471,7 @@ def _block_bounds(
                 if m.any():
                     cand_idx = np.nonzero(m)[0]
                     seed_idx.add(int(cand_idx[np.argmax(ub_arr[m])]))
-        seed_keys = [rows[i]["_bkey"] for i in sorted(seed_idx)]
+        seed_keys = [rows[i] for i in sorted(seed_idx)]
     else:
         w = Window.partitionBy("term").orderBy(
             F.col("hi").desc()
