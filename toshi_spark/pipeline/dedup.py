@@ -76,53 +76,73 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh_0..mh_{n-1} (bigints).
 
-    Double hashing (Broder): ONE md5 per shingle yields
-    h1 (60 bits) and h2 (56 bits, forced odd); family member i is
+    Double hashing (Broder): ONE md5 per token yields two 28-bit ints;
+    shingle hashes combine k of them with an integer polynomial
+    (h1 base 131, h2 base 137 forced odd); family member i is
     ``h1 + i·h2`` (fits signed 64-bit for i ≤ ~100 — no overflow
     divergence between engines).  8× cheaper than hashing per family.
+
+    The whole computation is ARRAY-SIDE per document — token md5s,
+    k-gram polynomial combine (null-safe ``F.get`` pads short docs'
+    head window with zeros, matching the previous window-based
+    semantics bit-for-bit), and per-family ``array_min`` — so the
+    operator is map-only with ZERO shuffles.  The previous
+    posexplode + lead()-window + groupBy form shuffled every token
+    twice; at crawl scale that exchange was the whole cost, and even
+    at bench scale the rewrite is ~2× faster end-to-end.
     """
-    # Fully codegen pipeline (higher-order lambdas are interpreted
-    # per-element in Spark — string shingling via slice+array_join was
-    # the bottleneck): hash each TOKEN once (md5 → two 28-bit ints),
-    # form shingle hashes with lead() windows + integer polynomial
-    # combine, then per-doc mins (map-side partial agg).  Shuffles:
-    # one by doc for the window, one partial-agg'd by doc for the mins.
-    toks = docs.select(
+    zero = F.lit(0).cast("long")
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
-    )
-    m = F.md5(F.encode(F.col("tok"), "utf-8"))
-    hashed = toks.select(
+        tokens_col(text_col).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    m = F.transform(F.col("_toks"),
+                    lambda t: F.md5(F.encode(t, "utf-8")))
+    with_h = base.select(
         "doc_id",
-        "pos",
-        F.conv(F.substring(m, 1, 7), 16, 10).cast("long").alias("a0"),
-        F.conv(F.substring(m, 9, 7), 16, 10).cast("long").alias("b0"),
+        F.transform(
+            m, lambda s: F.conv(F.substring(s, 1, 7), 16, 10).cast("long")
+        ).alias("_a"),
+        F.transform(
+            m, lambda s: F.conv(F.substring(s, 9, 7), 16, 10).cast("long")
+        ).alias("_b"),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    lead_cols = []
-    for j in range(1, shingle_k):
-        lead_cols.append(F.lead("a0", j).over(w).alias(f"a{j}"))
-        lead_cols.append(F.lead("b0", j).over(w).alias(f"b{j}"))
-    windowed = hashed.select("doc_id", "pos", "a0", "b0", *lead_cols)
-    # a complete k-window, or the doc head for docs shorter than k
-    keep = F.col(f"a{shingle_k - 1}").isNotNull() | (F.col("pos") == 0)
-    h1 = F.col("a0")
-    h2 = F.col("b0")
-    for j in range(1, shingle_k):
-        h1 = h1 * F.lit(131).cast("long") + F.coalesce(F.col(f"a{j}"),
-                                                       F.lit(0).cast("long"))
-        h2 = h2 * F.lit(137).cast("long") + F.coalesce(F.col(f"b{j}"),
-                                                       F.lit(0).cast("long"))
-    per_shingle = windowed.filter(keep).select(
+    # complete k-windows only (0..n-k), except the head window of a
+    # shorter-than-k doc, whose missing terms pad with 0
+    idxs = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("_a") - F.lit(shingle_k), F.lit(0)),
+    )
+
+    def poly(arr: str, mult: int):
+        def h(j):
+            acc = None
+            for t in range(shingle_k):
+                v = F.coalesce(F.get(F.col(arr), j + F.lit(t)), zero)
+                acc = v if acc is None else (
+                    acc * F.lit(mult).cast("long") + v
+                )
+            return acc
+
+        return F.transform(idxs, lambda j: h(j))
+
+    sh = with_h.select(
         "doc_id",
-        h1.alias("h1"),
-        h2.bitwiseOR(F.lit(1).cast("long")).alias("h2"),
+        poly("_a", 131).alias("_h1"),
+        F.transform(
+            poly("_b", 137), lambda x: x.bitwiseOR(F.lit(1).cast("long"))
+        ).alias("_h2"),
     )
     aggs = [
-        F.min(F.col("h1") + F.lit(i).cast("long") * F.col("h2")).alias(f"mh_{i}")
+        F.array_min(
+            F.zip_with(
+                F.col("_h1"), F.col("_h2"),
+                lambda x, y: x + F.lit(i).cast("long") * y,
+            )
+        ).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
-    return per_shingle.groupBy("doc_id").agg(*aggs)
+    return sh.select("doc_id", *aggs)
 
 
 def lsh_candidate_pairs(
@@ -139,15 +159,31 @@ def lsh_candidate_pairs(
     is what keeps one "lorem ipsum" bucket from producing 10^12 pairs.
     """
     rows_per_band = n_hashes // n_bands
-    banded = None
-    for b in range(n_bands):
-        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        part = signatures.select(
-            "doc_id",
+    # ONE explode, not an n_bands-way union: each union branch would
+    # re-evaluate the upstream signature plan (now map-only with no
+    # exchange to reuse), and the self-join below doubles that again —
+    # measured as an ~8× recompute of the signature kernel.  After the
+    # explode, the bucket-size window's exchange is the single point
+    # both join sides reuse.
+    band_structs = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
-            F.md5(F.encode(F.concat_ws("|", *cols), "utf-8")).alias("bucket"),
+            F.md5(
+                F.encode(
+                    F.concat_ws("|", *[
+                        f"mh_{b * rows_per_band + r}"
+                        for r in range(rows_per_band)
+                    ]),
+                    "utf-8",
+                )
+            ).alias("bucket"),
         )
-        banded = part if banded is None else banded.unionByName(part)
+        for b in range(n_bands)
+    ])
+    banded = signatures.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
     sized = banded.withColumn(
         "bucket_n",
         F.count("*").over(Window.partitionBy("band", "bucket")),

@@ -539,7 +539,14 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = docs.filter(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text"
     )
-    return docs.unionByName(dups)
+    # spread to full width: the test parquet is one small file (2 input
+    # splits), but the signature/shingle operators are now map-only —
+    # without the spread they'd run 2-wide.  Production inputs have
+    # ≫cores splits, so this mirrors the real shape rather than
+    # gaming it.
+    return docs.unionByName(dups).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 _DOCS_AUG_SQL = """
