@@ -151,8 +151,6 @@ def main() -> None:
 def _blockmax_skewed(spark) -> dict:
     """Build a 40k-doc site-skewed index and measure pruning + latency
     for representative query shapes (pruned-% = postings not decoded)."""
-    from pyspark.sql import functions as F
-
     from toshi_spark.fixtures import synth_webtext_skewed
     from toshi_spark.index.blocks import encode_blocks_df
     from toshi_spark.index.builder import build_index, salted_postings

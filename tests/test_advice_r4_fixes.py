@@ -2,11 +2,13 @@
 parsing, ragged-embedding guards, blockmax collect bound, reliable
 checkpointing, and stale-segment migration."""
 
+import json
 import os
 
 import pytest
 from pyspark.sql import functions as F
 
+from toshi_spark.api import ToshiApi
 from toshi_spark.index.catalog import IndexCatalog
 from toshi_spark.query.dsl import parse_search
 from toshi_spark.schema import QueryError
@@ -197,3 +199,55 @@ def test_migrate_stale_segments_upgrades_flush_segment(
 
     # idempotent: nothing stale left
     assert migrate_stale_segments(spark, index_dir, index_name="ix") == []
+
+
+# ------------------------------------------------ analyzer versioning
+
+
+def test_stale_analyzer_version_refused_on_open(spark, tmp_path_factory):
+    """en_stem terms are derived data: an index stemmed under the old
+    Porter-1980 chain must fail loudly at open() (queries analyze with
+    the current Snowball chain and would silently return zero hits)."""
+    import json as _json
+
+    cat = IndexCatalog(spark, str(tmp_path_factory.mktemp("anver")))
+    cat.create_index("st", [
+        {"name": "body", "ftype": "text", "stored": True, "indexed": True,
+         "tokenizer": "en_stem"},
+    ], merge_policy={"kind": "none"})
+    cat.add_document("st", {"body": "running fairly"}, commit=True)
+    assert cat.open("st") is not None  # current version opens fine
+
+    # simulate a pre-round-4 index: drop the recorded analyzer version
+    meta_path = os.path.join(cat._dir("st"), "index.json")
+    meta = _json.load(open(meta_path))
+    del meta["analyzer_versions"]
+    _json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="older analyzer version"):
+        cat.open("st")
+
+    # default-tokenizer indexes are unaffected (its version is still 1)
+    cat.create_index("plain", SCHEMA, merge_policy={"kind": "none"})
+    cat.add_document("plain", {"text": "hello"}, commit=True)
+    meta_path = os.path.join(cat._dir("plain"), "index.json")
+    meta = _json.load(open(meta_path))
+    del meta["analyzer_versions"]
+    _json.dump(meta, open(meta_path, "w"))
+    assert cat.open("plain") is not None
+
+
+def test_bulk_threshold_counts_bytes_not_chars(spark, tmp_path_factory):
+    """A non-ASCII body must trigger the distributed path by BYTE size."""
+    cat = IndexCatalog(spark, str(tmp_path_factory.mktemp("bytes")))
+    a = ToshiApi(cat, bulk_distributed_bytes=200_000)
+    code, _ = a.handle("PUT", "/b/_create", SCHEMA)
+    assert code == 201
+    # ~300 chars/doc but ~900 bytes/doc (3-byte CJK chars)
+    body = "\n".join(
+        json.dumps({"text": "北京" * 100 + f" doc{i}"},
+                   ensure_ascii=False)
+        for i in range(400)
+    )
+    assert len(body) < 200_000 < len(body.encode("utf-8"))
+    code, resp = a.handle("POST", "/b/_bulk", body)
+    assert code == 201 and resp["docs"] == 400

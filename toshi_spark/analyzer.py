@@ -147,10 +147,24 @@ def _analyze_doc_raw(text: str) -> tuple[dict[str, list[int]], int]:
     return {text: [0]}, 1
 
 
+# bump when an analyzer's OUTPUT changes for the same input (indexed
+# terms are derived data — an index built under another version would
+# silently stop matching query-side analysis).  The catalog stamps
+# this per index at create time and open() refuses a stemmed-field
+# index stamped differently.  History: 1 = Porter-1980 en_stem;
+# 2 = Snowball/Porter2 en_stem (round 4).
+ANALYZER_VERSIONS: dict[str, int] = {
+    "default": 1,
+    "raw": 1,
+    "en_stem": 2,
+    "cang_jie": 1,
+    "cjk": 1,
+}
+
+
 def _analyze_doc_en_stem(text: str) -> tuple[dict[str, list[int]], int]:
     """Tantivy's ``en_stem`` chain: simple tokenizer → remove-long →
-    lowercase → English stemmer (here the original Porter algorithm —
-    see porter.py for the Snowball-variant caveat)."""
+    lowercase → Snowball English stemmer (porter.py)."""
     from .porter import stem
 
     agg: dict[str, list[int]] = {}

@@ -164,8 +164,15 @@ class ToshiApi:
         """
         self._require(index)
         schema = self.catalog.schema(index)
+        raw = body if isinstance(body, (bytes, bytearray)) else None
         text = body if isinstance(body, str) else (body or b"").decode("utf-8")
-        if len(text) > self.bulk_distributed_bytes:
+        # threshold is BYTES (as the knob's name says): measure the
+        # wire body, not the decoded character count, so a non-ASCII
+        # body doesn't dodge the distributed path
+        body_bytes = len(raw) if raw is not None else len(
+            text.encode("utf-8")
+        )
+        if body_bytes > self.bulk_distributed_bytes:
             return self._bulk_distributed(index, schema, text)
         docs: list[dict] = []
         for ln, line in enumerate(text.splitlines(), 1):

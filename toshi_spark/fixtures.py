@@ -138,10 +138,13 @@ def _gen_batch_skewed(idx: np.ndarray, seed: int,
     ranks = np.arange(1.0, len(vocab) + 1.0)
     probs = (1.0 / ranks) / np.sum(1.0 / ranks)
     urls, tss, htmls, texts, langs = [], [], [], [], []
+    site_cache: dict[int, tuple] = {}  # all site_docs docs share params
     for i in idx:
         i = int(i)
         site = i // site_docs
-        lo, hi, topics, burst = _site_params(seed, site, len(vocab))
+        if site not in site_cache:
+            site_cache[site] = _site_params(seed, site, len(vocab))
+        lo, hi, topics, burst = site_cache[site]
         rng = np.random.RandomState(_doc_seed(seed, i))
         n_tokens = int(rng.randint(lo, hi + 1))
         base = rng.choice(len(vocab), size=n_tokens, p=probs)

@@ -27,6 +27,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..analyzer import ANALYZER_VERSIONS
 from ..engine import FullTextIndex
 from ..schema import FieldSpec, IndexSchema, QueryError
 from .builder import IndexTables, build_index
@@ -83,6 +84,14 @@ class IndexCatalog:
                     "opstamp": 0,
                     "fields": [vars(s) for s in schema.fields],
                     "merge_policy": merge_policy or {"kind": "log"},
+                    # indexed terms are DERIVED data: record the
+                    # analyzer version each tokenizer produced them
+                    # under, so open() can refuse an index whose terms
+                    # no longer match current query-side analysis
+                    "analyzer_versions": {
+                        s.tokenizer: ANALYZER_VERSIONS[s.tokenizer]
+                        for s in schema.text_fields()
+                    },
                 },
                 f,
             )
@@ -451,6 +460,7 @@ class IndexCatalog:
         otherwise the flushed rowstore parquet (if any) is used.
         """
         schema = self.schema(name)
+        self._check_analyzer_versions(name, schema)
         self._recover_rowstore(name)
         tables = open_segmented_tables(self.spark, self._dir(name))
         if corpus is None:
@@ -476,6 +486,31 @@ class IndexCatalog:
             corpus = corpus.join(tomb, "doc_id", "left_anti")
         return FullTextIndex(self.spark, schema, corpus, tables,
                              id_col="doc_id", name=name)
+
+    def _check_analyzer_versions(self, name: str,
+                                 schema: IndexSchema) -> None:
+        """Fail fast when an index's terms were produced by an analyzer
+        whose output has since changed (e.g. the round-4 Porter-1980 →
+        Snowball swap): queries analyze with the CURRENT chain, so a
+        stale-stemmed index would silently return zero hits instead of
+        an error.  Indexes created before versions were recorded count
+        as version 1 for every tokenizer."""
+        stored = self._meta(name).get("analyzer_versions", {})
+        stale = []
+        for s in schema.text_fields():
+            have = int(stored.get(s.tokenizer, 1))
+            want = ANALYZER_VERSIONS[s.tokenizer]
+            if have != want:
+                stale.append((s.name, s.tokenizer, have, want))
+        if stale:
+            raise ValueError(
+                f"index {name!r} has field(s) analyzed under an older "
+                f"analyzer version: "
+                f"{[(f, t, f'v{h}->v{w}') for f, t, h, w in stale]}. "
+                "Indexed terms no longer match query-side analysis — "
+                "re-ingest the source documents (stemmed terms cannot "
+                "be migrated in place)."
+            )
 
     # ----------------------------------------------------------- summary
 

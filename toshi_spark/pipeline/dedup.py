@@ -32,6 +32,14 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
     configured (``sc.setCheckpointDir``), use RELIABLE checkpointing
     (HDFS/object-store backed, survives executor loss) instead; local
     mode and ad-hoc sessions keep the cheap local path.
+
+    Storage note: Spark does not delete reliable checkpoint data by
+    itself — a long-lived session running repeated dedups accumulates
+    files under the checkpoint dir.  Set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (Spark's
+    GC-driven cleaner) or periodically clear the directory between
+    jobs; intermediate rounds' files are safe to delete once the final
+    labels have been consumed.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:

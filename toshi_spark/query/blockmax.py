@@ -104,7 +104,7 @@ def _range_max(tables, lo, hi):
     return out
 
 
-def _overlap_rest(rows, terms):
+def _overlap_rest(rows):
     """Per-block rest-of-query bounds from DOC-RANGE OVERLAP.
 
     The global form Σ_{t'≠t} max_ub(t') is sound but hopeless for
@@ -428,13 +428,17 @@ def _block_bounds(
             rs.sort(key=lambda r: -r["hi"])
             max_ubs[t] = max(r["ub"] for r in rs)
             cum = 0
+            term_seeds = 0
             for r in rs:
                 # τ_t's defining hi-desc prefix joins the SEED set for
                 # the exact-θ pass (the prefix is ~⌈k/16⌉ blocks; a
                 # rare term that never certifies k contributes its few
-                # blocks whole, capped)
-                if len(seed_idx) < _SEED_CAP * len(by_term):
+                # blocks whole).  Cap PER TERM — a global budget could
+                # be eaten whole by the first term iterated, starving
+                # the others and collapsing θ to a single-term bound.
+                if term_seeds < _SEED_CAP:
                     seed_idx.add(order_of[id(r)])
+                    term_seeds += 1
                 cum += r["hi_n"]
                 if cum >= k:
                     taus.append(r["hi"])
@@ -445,7 +449,7 @@ def _block_bounds(
 
         # overlap-rest bounds (see _overlap_rest) — used twice: to pick
         # JOINT seed blocks here, and for the survivor filter later
-        rest_arr = _overlap_rest(rows, sorted(by_term))
+        rest_arr = _overlap_rest(rows)
         ub_arr = np.array([r["ub"] for r in rows], dtype=np.float64)
         f_arr = np.array([r["first_doc"] for r in rows], dtype=np.int64)
         l_arr = np.array([r["last_doc"] for r in rows], dtype=np.int64)
