@@ -75,6 +75,17 @@ COLLECT_BOUND = 1_000_000
 # max seed blocks per query term for the exact-θ pass
 _SEED_CAP = 8
 
+# threshold guard subtracted from θ before the survivor comparison.
+# Block upper bounds and exact scores come from DIFFERENT float
+# provenances (impact stats are computed in the numpy build kernel
+# with literal 2.2, exact scoring in Spark SQL with K1+1.0 — one ulp
+# apart), so at exact equality (k-th doc's own block, k=1 worst case)
+# a bound can sit an ulp below θ and prune the very doc that defines
+# it — found by the property fuzzer as an EMPTY top-1.  BM25 scores
+# here are O(1..500) with ulp ≤ 6e-14, so 1e-9 is four orders above
+# any accumulated rounding while costing no measurable pruning power.
+_BOUND_GUARD = 1e-9
+
 
 def _sparse_max_tables(vals):
     """Sparse table for O(1) range-max over a numpy array."""
@@ -223,7 +234,7 @@ def _seed_theta(
     cross-term sums τ structurally cannot.
     """
     if not seed_keys:
-        return tau
+        return tau - _BOUND_GUARD
     # OR-of-conjunctions over STORED columns (not the derived _bkey):
     # parquet pushes these to row-group stats, so at 10^12-doc scale
     # the seed job reads ~|seed| blocks' payloads, not the whole
@@ -251,8 +262,8 @@ def _seed_theta(
         .collect()
     )
     if len(kth) < k:
-        return tau
-    return max(tau, kth[-1]["score"])
+        return tau - _BOUND_GUARD
+    return max(tau, kth[-1]["score"]) - _BOUND_GUARD
 
 
 # surviving-key lists up to this size inline as an isin literal; above
