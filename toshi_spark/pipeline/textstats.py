@@ -154,10 +154,12 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     - ``top_bigram_frac``: share of the most frequent word bigram
       among all bigrams (degenerate/spammy text loops short phrases).
 
-    Line stats are pure array algebra per row; the bigram mode needs a
-    per-(doc, bigram) count → explode + partially-aggregated groupBy,
-    the same one-shuffle shape as the MinHash token path (the shuffle
-    carries (doc, bigram, count) partials, not raw tokens).
+    Both signals are PER-DOC computations, so the whole operator is
+    map-only: line stats are array algebra, and the bigram mode is the
+    longest equal-run in the doc's SORTED bigram array (array_sort +
+    one aggregate fold) — no explode, no groupBy, zero exchanges.  The
+    previous explode + groupBy(doc, bigram) form shuffled every bigram
+    of the corpus to compute what never leaves its row.
     """
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\n"),
@@ -180,28 +182,35 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             lambda x, y: F.concat(x, F.lit(" "), y),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(
+    # mode count = longest equal-run in the sorted array, via one fold
+    def run_step(acc, x):
+        run_new = F.when(
+            acc["prev"].isNotNull() & (acc["prev"] == x),
+            acc["run"] + F.lit(1),
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            F.greatest(acc["best"], run_new).alias("best"),
+        )
+
+    mc = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        run_step,
+        lambda acc: acc["best"],
+    )
+    tc = F.size(bigrams)
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         F.round(dup_line_frac, 4).alias("dup_line_frac"),
-        bigrams.alias("bg"),
-    )
-    counts = (
-        base.select("doc_id", F.explode("bg").alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("mc"), F.sum("c").alias("tc"))
-    )
-    return (
-        base.join(counts, "doc_id", "left")
-        .select(
-            "doc_id",
-            "dup_line_frac",
-            F.coalesce(
-                F.round(F.col("mc").cast("double") / F.col("tc"), 4),
-                F.lit(0.0),
-            ).alias("top_bigram_frac"),
-        )
+        F.when(
+            tc > 0, F.round(mc.cast("double") / tc, 4)
+        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
     )
 
 

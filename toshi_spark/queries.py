@@ -1557,7 +1557,14 @@ QUERIES["dedup_clusters"] = q_dedup_clusters
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.textstats import repetition_stats
 
-    return repetition_stats(load_documents(spark, sf_dir))
+    # spread to full width: the operator is now map-only (zero
+    # exchanges), so it inherits the test parquet's 1-2 splits without
+    # this; production inputs have ≫cores splits
+    return repetition_stats(
+        load_documents(spark, sf_dir).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
 
 
 ORACLES["repetition"] = """
