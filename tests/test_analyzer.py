@@ -323,3 +323,59 @@ def test_phrase_does_not_match_across_value_boundary(spark):
     # the gap keeps them 2 apart, so only doc 1 (single value) matches
     assert across.hits == 1
     assert across.docs[0].doc["tags"] == "red fox jumps"
+
+
+def test_cjk_dict_segmentation_dag_routes():
+    """jieba-style max-probability DAG over the demo dictionary —
+    routes hand-computed from the demo frequencies."""
+    from toshi_spark.cjk import DEMO_DICT, segment
+
+    # single long word beats the two-word route (5/T > 100·80/T²)
+    assert segment("今天天气很好") == ["今天天气", "很好"]
+    # the classic ambiguity: 北京+大学生 (120·70) beats 北京大学+生 (150·40)
+    assert segment("北京大学生") == ["北京", "大学生"]
+    # a high-frequency long word beats its decomposition
+    assert segment("中华人民共和国") == ["中华人民共和国"]
+    # unknown characters segment alone
+    assert segment("你好") == ["你", "好"]
+    assert segment("") == []
+    assert segment("一") == ["一"]
+    # custom dictionary overrides the route
+    assert segment("北京大学生", {"北京大学": 100, "生": 10}) == [
+        "北京大学", "生"]
+    assert DEMO_DICT  # demo dict is non-empty (the default)
+
+
+def test_cang_jie_dict_tokenizer_chain():
+    from toshi_spark.analyzer import terms_for
+    from toshi_spark.cjk import set_dictionary
+
+    assert terms_for("Spark处理大数据", "cang_jie_dict") == [
+        "spark", "处理", "大数据"]
+    # pluggable dictionary swaps the segmentation
+    set_dictionary({"大数": 100})
+    try:
+        assert terms_for("大数据", "cang_jie_dict") == ["大数", "据"]
+    finally:
+        set_dictionary(None)
+    assert terms_for("大数据", "cang_jie_dict") == ["大数据"]
+
+
+def test_cang_jie_dict_index_and_query_end_to_end(spark):
+    from toshi_spark.engine import FullTextIndex
+    from toshi_spark.schema import FieldSpec, IndexSchema
+
+    schema = IndexSchema([
+        FieldSpec("body", "text", stored=True, indexed=True,
+                  positions=True, tokenizer="cang_jie_dict"),
+    ])
+    docs = spark.createDataFrame(
+        [(0, "今天天气很好"), (1, "北京大学生在搜索引擎上搜索")],
+        "doc_id long, body string",
+    )
+    ix = FullTextIndex.build(spark, docs, schema, id_col="doc_id",
+                             name="cjkd")
+    r = ix.search_json({"query": {"term": {"body": "大学生"}}})
+    assert r.hits == 1 and r.docs[0].doc["body"].startswith("北京")
+    r = ix.search_json({"query": {"term": {"body": "搜索引擎"}}})
+    assert r.hits == 1

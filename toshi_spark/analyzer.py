@@ -125,6 +125,21 @@ def raw_tokens_cjk(text: str) -> Iterator[str]:
             yield from raw_tokens(part)
 
 
+def raw_tokens_cjk_dict(text: str) -> Iterator[str]:
+    """CJK runs → dictionary words (jieba-style max-probability DAG,
+    see cjk.py — pluggable dictionary, demo dict by default); non-CJK
+    segments tokenize like the default chain."""
+    from .cjk import segment
+
+    for part in _CJK_SPLIT_RE.split(text):
+        if not part:
+            continue
+        if _CJK_CHAR_RE.match(part[0]):
+            yield from segment(part)
+        else:
+            yield from raw_tokens(part)
+
+
 def _analyze_doc_with(tokens_fn) -> "callable":
     def analyze(text: str) -> tuple[dict[str, list[int]], int]:
         agg: dict[str, list[int]] = {}
@@ -159,6 +174,7 @@ ANALYZER_VERSIONS: dict[str, int] = {
     "en_stem": 2,
     "cang_jie": 1,
     "cjk": 1,
+    "cang_jie_dict": 1,
 }
 
 
@@ -182,6 +198,9 @@ ANALYZERS: dict[str, "callable"] = {
     "en_stem": _analyze_doc_en_stem,
     "cang_jie": _analyze_doc_with(raw_tokens_cjk),
     "cjk": _analyze_doc_with(raw_tokens_cjk),  # convenience alias
+    # opt-in jieba-style dictionary segmentation (cjk.py): the actual
+    # cang-jie/jieba ALGORITHM with a pluggable {word: freq} dictionary
+    "cang_jie_dict": _analyze_doc_with(raw_tokens_cjk_dict),
 }
 
 
