@@ -223,7 +223,8 @@ def test_stale_analyzer_version_refused_on_open(spark, tmp_path_factory):
     meta = _json.load(open(meta_path))
     del meta["analyzer_versions"]
     _json.dump(meta, open(meta_path, "w"))
-    with pytest.raises(ValueError, match="older analyzer version"):
+    # QueryError so the API layer surfaces it as a 400, not a crash
+    with pytest.raises(QueryError, match="analyzer version"):
         cat.open("st")
 
     # default-tokenizer indexes are unaffected (its version is still 1)

@@ -379,3 +379,65 @@ def test_cang_jie_dict_index_and_query_end_to_end(spark):
     assert r.hits == 1 and r.docs[0].doc["body"].startswith("北京")
     r = ix.search_json({"query": {"term": {"body": "搜索引擎"}}})
     assert r.hits == 1
+
+
+def test_cjk_dict_zero_freq_entries_are_jieba_del_word(spark):
+    """0-frequency entries (jieba's del_word idiom) stay out of the
+    DAG and never reach log()."""
+    from toshi_spark.cjk import segment
+
+    assert segment("大数据", {"大数据": 0, "大数": 100, "据": 5}) == [
+        "大数", "据"]
+
+
+def test_cjk_dict_ships_to_executors(spark):
+    """A custom dictionary must reach Spark workers (they import the
+    module fresh, so module state alone would silently fall back to
+    the demo dict): build an index under a custom dictionary and
+    check the indexed terms match driver-side analysis."""
+    from toshi_spark.cjk import set_dictionary
+    from toshi_spark.engine import FullTextIndex
+    from toshi_spark.schema import FieldSpec, IndexSchema
+
+    schema = IndexSchema([
+        FieldSpec("body", "text", stored=True, indexed=True,
+                  positions=True, tokenizer="cang_jie_dict"),
+    ])
+    docs = spark.createDataFrame(
+        [(0, "大数据")], "doc_id long, body string")
+    set_dictionary({"大数": 100})  # demo dict would segment 大数据 whole
+    try:
+        ix = FullTextIndex.build(spark, docs, schema, id_col="doc_id",
+                                 name="cjkship")
+        terms = {r["term"] for r in ix.postings.collect()}
+        assert terms == {"大数", "据"}, terms
+        r = ix.search_json({"query": {"term": {"body": "大数"}}})
+        assert r.hits == 1
+    finally:
+        set_dictionary(None)
+
+
+def test_cjk_dict_swap_refused_at_open(spark, tmp_path_factory):
+    """The analyzer version stamped at create includes the dictionary
+    fingerprint: building under one dictionary and opening under
+    another must fail loudly, not silently return zero hits."""
+    import pytest as _pytest
+
+    from toshi_spark.cjk import set_dictionary
+    from toshi_spark.index.catalog import IndexCatalog
+    from toshi_spark.schema import QueryError
+
+    cat = IndexCatalog(spark, str(tmp_path_factory.mktemp("cjkswap")))
+    cat.create_index("cs", [
+        {"name": "body", "ftype": "text", "stored": True,
+         "indexed": True, "tokenizer": "cang_jie_dict"},
+    ], merge_policy={"kind": "none"})
+    cat.add_document("cs", {"body": "今天天气很好"}, commit=True)
+    assert cat.open("cs") is not None
+    set_dictionary({"今天": 1})
+    try:
+        with _pytest.raises(QueryError, match="analyzer version"):
+            cat.open("cs")
+    finally:
+        set_dictionary(None)
+    assert cat.open("cs") is not None  # demo dict again → opens

@@ -125,19 +125,25 @@ def raw_tokens_cjk(text: str) -> Iterator[str]:
             yield from raw_tokens(part)
 
 
-def raw_tokens_cjk_dict(text: str) -> Iterator[str]:
-    """CJK runs → dictionary words (jieba-style max-probability DAG,
-    see cjk.py — pluggable dictionary, demo dict by default); non-CJK
-    segments tokenize like the default chain."""
-    from .cjk import segment
+def _make_raw_tokens_cjk_dict(dictionary: dict, stats) -> "callable":
+    """Build a CJK dictionary tokenizer CLOSURE over a snapshot of the
+    dictionary + its precomputed stats.  The snapshot must ride the
+    closure: Spark ships closures by VALUE but module-level functions
+    by REFERENCE, and an executor's fresh import of cjk.py would see
+    the demo dictionary, silently segmenting indexed text differently
+    from query-side analysis."""
+    from .cjk import segment_with
 
-    for part in _CJK_SPLIT_RE.split(text):
-        if not part:
-            continue
-        if _CJK_CHAR_RE.match(part[0]):
-            yield from segment(part)
-        else:
-            yield from raw_tokens(part)
+    def raw_tokens_cjk_dict(text: str) -> Iterator[str]:
+        for part in _CJK_SPLIT_RE.split(text):
+            if not part:
+                continue
+            if _CJK_CHAR_RE.match(part[0]):
+                yield from segment_with(part, dictionary, stats)
+            else:
+                yield from raw_tokens(part)
+
+    return raw_tokens_cjk_dict
 
 
 def _analyze_doc_with(tokens_fn) -> "callable":
@@ -199,8 +205,10 @@ ANALYZERS: dict[str, "callable"] = {
     "cang_jie": _analyze_doc_with(raw_tokens_cjk),
     "cjk": _analyze_doc_with(raw_tokens_cjk),  # convenience alias
     # opt-in jieba-style dictionary segmentation (cjk.py): the actual
-    # cang-jie/jieba ALGORITHM with a pluggable {word: freq} dictionary
-    "cang_jie_dict": _analyze_doc_with(raw_tokens_cjk_dict),
+    # cang-jie/jieba ALGORITHM with a pluggable {word: freq} dictionary.
+    # Sentinel: get_analyzer builds a fresh closure over the ACTIVE
+    # dictionary snapshot (see _make_raw_tokens_cjk_dict)
+    "cang_jie_dict": None,
 }
 
 
@@ -208,13 +216,42 @@ def get_analyzer(name: str):
     # case-insensitive: reference schemas spell the CJK tokenizer
     # 'CANG_JIE' (the cang_jie::CANG_JIE constant,
     # toshi-server/src/handlers/index.rs:105, lib.rs:63-69)
+    key = str(name).lower()
     try:
-        return ANALYZERS[str(name).lower()]
+        fn = ANALYZERS[key]
     except KeyError:
         raise ValueError(
             f"Unknown tokenizer: {name!r} (registered: "
             f"{sorted(ANALYZERS)})"
         ) from None
+    if fn is None:  # cang_jie_dict: snapshot the active dictionary
+        from .cjk import active_dict, dict_stats
+
+        d = active_dict()
+        return _analyze_doc_with(_make_raw_tokens_cjk_dict(
+            d, dict_stats(d)))
+    return fn
+
+
+def analyzer_version(name: str):
+    """Version identity for one tokenizer's OUTPUT.  For dictionary
+    tokenizers the identity includes the active dictionary's
+    fingerprint — a dictionary swap changes indexed terms exactly like
+    an algorithm change would."""
+    key = str(name).lower()
+    base = ANALYZER_VERSIONS.get(key, 1)
+    if key == "cang_jie_dict":
+        from .cjk import dictionary_fingerprint
+
+        return f"{base}:{dictionary_fingerprint()}"
+    return base
+
+
+# every registered analyzer must carry a version (a new entry without
+# one would KeyError at index create, outside the API error contract)
+assert set(ANALYZER_VERSIONS) == set(ANALYZERS), (
+    "ANALYZER_VERSIONS out of sync with ANALYZERS"
+)
 
 
 def terms_for(text: str, tokenizer: str = "default") -> list[str]:
@@ -263,6 +300,7 @@ def analyze_arrow_batches(
     text_col: str = "text",
     field: str = "text",
     tokenizer: str = "default",
+    analyze=None,
 ):
     """mapInArrow kernel: (id, text) RecordBatches → per-(doc, term) rows.
 
@@ -285,7 +323,13 @@ def analyze_arrow_batches(
     """
     import pyarrow as pa
 
-    analyze = get_analyzer(tokenizer)
+    # callers that run this on EXECUTORS must resolve the analyzer
+    # driver-side and pass it in (`analyze=`): dictionary tokenizers
+    # capture their dictionary in the closure, which only reaches the
+    # workers by value — a by-name lookup here would resolve against
+    # the worker's fresh module state instead
+    if analyze is None:
+        analyze = get_analyzer(tokenizer)
     out_schema = pa.schema(
         [
             ("doc_id", pa.int64()),

@@ -10,23 +10,33 @@ This module implements the actual segmentation ALGORITHM — the part
 that IS public knowledge — behind a pluggable dictionary:
 
 1. build the word DAG over a CJK run: from each index i, every
-   dictionary word starting at i is an edge i → i+len(word); a single
-   character is always an edge (unknown chars segment alone);
+   POSITIVE-frequency dictionary word starting at i is an edge
+   i → i+len(word); a single character is always an edge (unknown
+   chars segment alone; 0-frequency entries are jieba's del_word
+   idiom — kept out of the DAG, exactly like jieba's ``if FREQ[frag]``
+   guard);
 2. dynamic programming right-to-left for the maximum log-probability
    route, p(word) = freq(word)/total with unknown chars at freq 1 —
-   exactly the jieba ``calc``/``get_DAG`` construction; route ties
-   prefer the LONGER word (same tuple-max tie-break as jieba);
+   the jieba ``calc``/``get_DAG`` construction (``log(FREQ.get(w) or
+   1)``); route ties prefer the LONGER word (jieba's tuple-max);
 3. cut the run along the best route.
 
 ``ANALYZERS["cang_jie_dict"]`` exposes the chain (CJK runs segmented
 by dictionary, non-CJK runs through the default tokenizer).  A small
 built-in demo dictionary makes the path testable end-to-end; real
 deployments pass their own ``{word: frequency}`` via
-``set_dictionary`` (e.g. loaded from jieba's ``dict.txt``).
+``set_dictionary`` (e.g. loaded from jieba's ``dict.txt``) BEFORE
+building or opening indexes — ``get_analyzer("cang_jie_dict")``
+snapshots the active dictionary into the analyzer closure so Spark
+ships it to executors by value (module state alone would not survive
+the worker's fresh import), and the catalog stamps the dictionary
+FINGERPRINT into the index's analyzer version so an index built under
+one dictionary refuses to open under another.
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 # A deliberately small demonstration dictionary ({word: frequency}):
@@ -41,38 +51,76 @@ DEMO_DICT: dict[str, int] = {
 }
 
 _ACTIVE: dict[str, int] | None = None
+# dictionary-derived constants, computed ONCE per dictionary (a
+# 350k-entry production dict would otherwise pay an O(|dict|) scan per
+# CJK run): id → (strong dict ref, (max_word_len, log_total,
+# fingerprint)).  The strong ref both verifies identity and keeps the
+# id from being recycled by the allocator for a different dict.
+_STATS_CACHE: dict[int, tuple[dict, tuple[int, float, str]]] = {}
 
 
 def set_dictionary(dictionary: dict[str, int] | None) -> None:
     """Install the process-wide segmentation dictionary (None resets
-    to the demo dictionary).  Must be called before any Spark action
-    that analyzes with ``cang_jie_dict`` (the analyzer closure ships to
-    executors with the active dictionary)."""
+    to the demo dictionary).  Call BEFORE building/opening indexes:
+    the dictionary is snapshotted into analyzer closures at
+    ``get_analyzer`` time and fingerprinted into index metadata."""
     global _ACTIVE
     _ACTIVE = dict(dictionary) if dictionary is not None else None
 
 
-def _dict() -> dict[str, int]:
+def active_dict() -> dict[str, int]:
     return _ACTIVE if _ACTIVE is not None else DEMO_DICT
+
+
+def dict_stats(d: dict[str, int]) -> tuple[int, float, str]:
+    """(max_word_len, log_total, fingerprint) for a dictionary,
+    memoized by object identity (dictionaries are installed whole via
+    set_dictionary, never mutated in place)."""
+    key = id(d)
+    cached = _STATS_CACHE.get(key)
+    if cached is not None and cached[0] is d:
+        return cached[1]
+    max_len = max((len(w) for w in d), default=1)
+    log_total = math.log(max(sum(d.values()), 1))
+    h = hashlib.md5()
+    for w in sorted(d):
+        h.update(f"{w}\t{d[w]}\n".encode("utf-8"))
+    stats = (max_len, log_total, h.hexdigest()[:16])
+    _STATS_CACHE[key] = (d, stats)
+    return stats
+
+
+def dictionary_fingerprint() -> str:
+    """Stable fingerprint of the ACTIVE dictionary (stamped into index
+    metadata so dictionary swaps are refused at open, not discovered
+    as silent zero-hit queries)."""
+    d = active_dict()
+    return dict_stats(d)[2]
 
 
 def segment(run: str, dictionary: dict[str, int] | None = None) -> list[str]:
     """Cut one CJK run into words by the max-probability DAG route."""
-    d = dictionary if dictionary is not None else _dict()
+    d = dictionary if dictionary is not None else active_dict()
+    return segment_with(run, d, dict_stats(d))
+
+
+def segment_with(run: str, d: dict[str, int],
+                 stats: tuple[int, float, str]) -> list[str]:
+    """Segmentation core against precomputed dictionary stats — the
+    form analyzer closures capture (dict + stats ride the closure to
+    executors; nothing resolves from module state at run time)."""
     n = len(run)
     if n == 0:
         return []
     if n == 1:
         return [run]
-    max_len = max((len(w) for w in d), default=1)
-    total = max(sum(d.values()), 1)
-    log_total = math.log(total)
-    # DAG[i] = list of end indices j (inclusive) for words run[i:j+1]
+    max_len, log_total, _ = stats
+    # DAG[i] = end indices j (inclusive) for positive-freq dict words
     dag: list[list[int]] = []
     for i in range(n):
         ends = [i]  # single char always segments
         for j in range(i + 1, min(n, i + max_len)):
-            if run[i : j + 1] in d:
+            if d.get(run[i : j + 1]):
                 ends.append(j)
         dag.append(ends)
     # right-to-left DP; tuple max prefers the larger end index on ties
@@ -80,7 +128,7 @@ def segment(run: str, dictionary: dict[str, int] | None = None) -> list[str]:
     for i in range(n - 1, -1, -1):
         route[i] = max(
             (
-                math.log(d.get(run[i : j + 1], 1)) - log_total
+                math.log(d.get(run[i : j + 1]) or 1) - log_total
                 + route[j + 1][0],
                 j,
             )

@@ -27,7 +27,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..analyzer import ANALYZE_SCHEMA, analyze_arrow_batches
+from ..analyzer import ANALYZE_SCHEMA, analyze_arrow_batches, get_analyzer
 
 
 @dataclass
@@ -65,11 +65,16 @@ def analyze_corpus(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
     # mapInArrow: RecordBatches in/out, flat buffers — no per-row
-    # pandas objects on the Python→JVM hop
+    # pandas objects on the Python→JVM hop.  The analyzer is resolved
+    # DRIVER-side and captured in the shipped closure: dictionary
+    # tokenizers snapshot their dictionary into it, which is the only
+    # way the dictionary reaches executors (a by-name lookup on the
+    # worker would see freshly-imported module state).
+    analyze = get_analyzer(tokenizer)
     return proj.mapInArrow(
         lambda it: analyze_arrow_batches(
             it, id_col="doc_id", text_col="text", field=field,
-            tokenizer=tokenizer,
+            tokenizer=tokenizer, analyze=analyze,
         ),
         ANALYZE_SCHEMA,
     )

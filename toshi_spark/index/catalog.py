@@ -27,7 +27,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..analyzer import ANALYZER_VERSIONS
+from ..analyzer import analyzer_version
 from ..engine import FullTextIndex
 from ..schema import FieldSpec, IndexSchema, QueryError
 from .builder import IndexTables, build_index
@@ -86,10 +86,12 @@ class IndexCatalog:
                     "merge_policy": merge_policy or {"kind": "log"},
                     # indexed terms are DERIVED data: record the
                     # analyzer version each tokenizer produced them
-                    # under, so open() can refuse an index whose terms
-                    # no longer match current query-side analysis
+                    # under (for dictionary tokenizers this includes
+                    # the dictionary fingerprint), so open() can refuse
+                    # an index whose terms no longer match current
+                    # query-side analysis
                     "analyzer_versions": {
-                        s.tokenizer: ANALYZER_VERSIONS[s.tokenizer]
+                        s.tokenizer: analyzer_version(s.tokenizer)
                         for s in schema.text_fields()
                     },
                 },
@@ -498,18 +500,21 @@ class IndexCatalog:
         stored = self._meta(name).get("analyzer_versions", {})
         stale = []
         for s in schema.text_fields():
-            have = int(stored.get(s.tokenizer, 1))
-            want = ANALYZER_VERSIONS[s.tokenizer]
-            if have != want:
+            have = stored.get(s.tokenizer, 1)
+            want = analyzer_version(s.tokenizer)
+            if str(have) != str(want):
                 stale.append((s.name, s.tokenizer, have, want))
         if stale:
-            raise ValueError(
-                f"index {name!r} has field(s) analyzed under an older "
-                f"analyzer version: "
+            # QueryError: the API layer's (status, json) contract
+            # catches it as a 400 with this message — a bare ValueError
+            # would escape handle() as a transport-level crash
+            raise QueryError(
+                f"index {name!r} has field(s) analyzed under a "
+                f"different analyzer version: "
                 f"{[(f, t, f'v{h}->v{w}') for f, t, h, w in stale]}. "
                 "Indexed terms no longer match query-side analysis — "
-                "re-ingest the source documents (stemmed terms cannot "
-                "be migrated in place)."
+                "re-ingest the source documents (stemmed/segmented "
+                "terms cannot be migrated in place)."
             )
 
     # ----------------------------------------------------------- summary

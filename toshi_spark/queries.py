@@ -539,14 +539,10 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = docs.filter(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text"
     )
-    # spread to full width: the test parquet is one small file (2 input
-    # splits), but the signature/shingle operators are now map-only —
-    # without the spread they'd run 2-wide.  Production inputs have
-    # ≫cores splits, so this mirrors the real shape rather than
-    # gaming it.
-    return docs.unionByName(dups).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # spread to full width when the input is under-split (see _spread):
+    # the signature/shingle operators are map-only and would otherwise
+    # run 2-wide over the small test parquet
+    return _spread(spark, docs.unionByName(dups))
 
 
 _DOCS_AUG_SQL = """
@@ -1554,17 +1550,21 @@ QUERIES["dedup_clusters"] = q_dedup_clusters
 # --- Repetition signals (Gopher-style webtext filter) -------------------
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the input has fewer splits than cores —
+    the small test parquet reads as 1-2 splits, starving map-only
+    operators; production inputs have ≫cores splits and must NOT pay
+    a whole-corpus exchange (or a parallelism REDUCTION) here."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.textstats import repetition_stats
 
-    # spread to full width: the operator is now map-only (zero
-    # exchanges), so it inherits the test parquet's 1-2 splits without
-    # this; production inputs have ≫cores splits
-    return repetition_stats(
-        load_documents(spark, sf_dir).repartition(
-            spark.sparkContext.defaultParallelism
-        )
-    )
+    return repetition_stats(_spread(spark, load_documents(spark, sf_dir)))
 
 
 ORACLES["repetition"] = """
