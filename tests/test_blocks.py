@@ -281,3 +281,67 @@ def test_blockmax_fuzz_rank_identity(spark, fuzz_ix, terms, k, tf_mode):
     kth = want[-1].score
     strictly_above = {r.doc_id for r in want if r.score > kth + 1e-9}
     assert strictly_above <= {r.doc_id for r in got}
+
+
+def test_seed_gate_skips_on_flat_and_runs_on_skewed(spark):
+    """Adaptive seed-θ gate (r4 VERDICT #1): on a flat corpus (uniform
+    tf/doc-length → near-uniform block bounds) the metadata-only
+    estimate predicts no prunable mass, the seed decode job is
+    skipped, and θ falls back to τ; on a tf-skewed corpus the gate
+    lets the seed pass run and θ tightens past τ.  Rank identity on
+    the flat corpus is covered by the oracle query + fuzzer; this
+    pins the GATE decision itself via the θ/τ relation."""
+    from toshi_spark.engine import FullTextIndex
+    from toshi_spark.index.blocks import encode_blocks_df
+    from toshi_spark.index.builder import salted_postings
+    from toshi_spark.query.blockmax import (
+        _BOUND_GUARD,
+        blockmax_prune_stats,
+    )
+    from toshi_spark.schema import FieldSpec, IndexSchema
+
+    schema = IndexSchema([FieldSpec("body", "text", stored=True,
+                                    indexed=True, positions=True)])
+
+    # flat: every doc identical shape, tf=1 — no θ can prune
+    flat_rows = [
+        (i, "alpha beta " + " ".join(f"pad{j}" for j in range(10)))
+        for i in range(1500)
+    ]
+    docs = spark.createDataFrame(flat_rows, "doc_id long, body string")
+    ix = FullTextIndex.build(spark, docs, schema, id_col="doc_id",
+                             name="gateflat")
+    avgdl = {r["field"]: float(r["avgdl"])
+             for r in ix.fieldstats.collect()}
+    salted = salted_postings(ix.postings, ix.termstats,
+                             df_threshold=100_000, n_salts=4)
+    blocks = encode_blocks_df(salted, avgdl)
+    st = blockmax_prune_stats(blocks, ix.termstats, ix.fieldstats,
+                              ix.n_docs, "body", ["alpha", "beta"], 10)
+    # seed skipped ⇒ θ is exactly τ − guard (no decoded partial won)
+    assert st["theta"] == pytest.approx(st["tau"] - _BOUND_GUARD)
+
+    # skewed: tf-concentrated docs — the gate must let seed run and
+    # the decoded θ must beat τ (the cross-term partial sums)
+    skew_rows = [
+        (i, "alpha beta " + " ".join(f"pad{j}" for j in range(10)))
+        for i in range(1500)
+    ] + [
+        (1500 + i, " ".join(["alpha"] * 25 + ["beta"] * 25))
+        for i in range(64)
+    ]
+    docs2 = spark.createDataFrame(skew_rows, "doc_id long, body string")
+    ix2 = FullTextIndex.build(spark, docs2, schema, id_col="doc_id",
+                              name="gateskew")
+    avgdl2 = {r["field"]: float(r["avgdl"])
+              for r in ix2.fieldstats.collect()}
+    salted2 = salted_postings(ix2.postings, ix2.termstats,
+                              df_threshold=100_000, n_salts=4)
+    blocks2 = encode_blocks_df(salted2, avgdl2)
+    st2 = blockmax_prune_stats(blocks2, ix2.termstats, ix2.fieldstats,
+                               ix2.n_docs, "body", ["alpha", "beta"],
+                               10)
+    assert st2["theta"] > st2["tau"]
+    tp = sum(v["postings"] for v in st2["terms"].values())
+    sp = sum(v["surviving_postings"] for v in st2["terms"].values())
+    assert sp < tp  # and it actually prunes

@@ -75,6 +75,17 @@ COLLECT_BOUND = 1_000_000
 # max seed blocks per query term for the exact-θ pass
 _SEED_CAP = 8
 
+# per-term slack in the a-priori block-count ceiling for one partial
+# block per (salt, segment) run — see the overflow probe in
+# _block_bounds (16 salts × 256 live segments of headroom)
+_RUN_SLACK = 4096
+
+# minimum estimated prunable-posting fraction for the seed-θ job to
+# run — below it the decode can't pay for its own job launch (the
+# adaptive gate in _block_bounds; measured: flat corpora estimate 0.0,
+# every skewed shape where seed pays estimates ≥ 0.13)
+_GATE_MIN_PRUNE = 0.05
+
 # threshold guard subtracted from θ before the survivor comparison.
 # Block upper bounds and exact scores come from DIFFERENT float
 # provenances (impact stats are computed in the numpy build kernel
@@ -115,7 +126,7 @@ def _range_max(tables, lo, hi):
     return out
 
 
-def _overlap_rest(rows):
+def _overlap_rest(rows, val_arrays=None):
     """Per-block rest-of-query bounds from DOC-RANGE OVERLAP.
 
     The global form Σ_{t'≠t} max_ub(t') is sound but hopeless for
@@ -130,17 +141,28 @@ def _overlap_rest(rows):
     Per term, a (salt, segment) run's blocks are disjoint sorted
     doc-id intervals, so each overlap query is two binary searches +
     an O(1) sparse-table range-max — vectorized with numpy over all
-    collected blocks at once.  Returns rest as a numpy array aligned
-    with ``rows``.
+    collected blocks at once.
+
+    ``val_arrays`` is a list of per-block value arrays to bound with
+    (default: one array, the rows' ``ub``) — callers needing several
+    rest variants (ub for the sound survivor bound, hi for the seed
+    gate's optimistic estimate) share the run grouping and binary
+    searches.  Returns one rest array per value array, aligned with
+    ``rows``; a single array when ``val_arrays`` is None.
     """
     import numpy as np
 
     n = len(rows)
+    single = val_arrays is None
+    if single:
+        val_arrays = [np.array([r["ub"] for r in rows],
+                               dtype=np.float64)]
+    nv = len(val_arrays)
     f = np.array([r["first_doc"] for r in rows], dtype=np.int64)
     l = np.array([r["last_doc"] for r in rows], dtype=np.int64)
     term_arr = np.array([r["term"] for r in rows])
-    total = np.zeros(n, dtype=np.float64)
-    own = np.zeros(n, dtype=np.float64)
+    total = [np.zeros(n, dtype=np.float64) for _ in range(nv)]
+    own = [np.zeros(n, dtype=np.float64) for _ in range(nv)]
     has_seg = bool(rows) and "seg" in rows[0].__fields__
     by_term_runs: dict[str, dict] = {}
     for i, r in enumerate(rows):
@@ -149,28 +171,37 @@ def _overlap_rest(rows):
             (r["salt"], r["seg"] if has_seg else None), []
         ).append(i)
     for t, runs in by_term_runs.items():
-        contrib = np.zeros(n, dtype=np.float64)
+        contrib = [np.zeros(n, dtype=np.float64) for _ in range(nv)]
         for idxs in runs.values():
             idx = np.array(idxs, dtype=np.int64)
             order = np.argsort(f[idx], kind="stable")
             idx = idx[order]
             firsts = f[idx]
             lasts = l[idx]
-            ubs = np.array([rows[i]["ub"] for i in idx], dtype=np.float64)
-            tables = _sparse_max_tables(ubs)
             lo = np.searchsorted(lasts, f, side="left")
             hi = np.searchsorted(firsts, l, side="right") - 1
             valid = lo <= hi
-            if valid.any():
+            if not valid.any():
+                continue
+            for v in range(nv):
+                tables = _sparse_max_tables(val_arrays[v][idx])
                 vals = _range_max(tables, lo[valid], hi[valid])
-                contrib[valid] = np.maximum(contrib[valid], vals)
-        total += contrib
+                contrib[v][valid] = np.maximum(contrib[v][valid], vals)
         m = term_arr == t
-        own[m] = contrib[m]
-    return total - own
+        for v in range(nv):
+            total[v] += contrib[v]
+            own[v][m] = contrib[v][m]
+    rests = [total[v] - own[v] for v in range(nv)]
+    return rests[0] if single else rests
 
 
 def _idf_map(dfs: dict[str, int], n_docs: int) -> Column:
+    if not dfs:
+        # no query term matched the dictionary: a zero-arg create_map
+        # types as map<void,void> and fails analysis when indexed by a
+        # string — the caller's decoded postings are empty anyway, so
+        # any typed scalar works
+        return F.create_map(F.lit(""), F.lit(0.0))
     return F.create_map(
         *[
             x
@@ -308,7 +339,14 @@ def _filter_survivors(meta: DataFrame, meta_rows, rest_arr,
         # nothing pruned (flat corpora) — skip the key filter entirely
         # rather than paying a no-op membership test over every block
         return meta
-    keys = [meta_rows[i]["_bkey"] for i in np.nonzero(keep)[0]]
+    # dedupe: _bkey is a '|'-joined string, so a term containing '|'
+    # (possible with the raw tokenizer) can alias two blocks to one
+    # key.  On the isin path a collision only over-includes (sound),
+    # but duplicate keys on the join path would multiply matching
+    # meta rows and double-count those blocks' partial scores.
+    keys = list(
+        dict.fromkeys(meta_rows[i]["_bkey"] for i in np.nonzero(keep)[0])
+    )
     if len(keys) <= _KEYS_INLINE_BOUND:
         return meta.filter(F.col("_bkey").isin(keys))
     import pandas as pd
@@ -422,9 +460,30 @@ def _block_bounds(
            "block_id", "first_doc", "last_doc", "count"]
     if "seg" in meta.columns:
         sel.append("seg")
-    rows = meta.select(*sel).limit(COLLECT_BOUND + 1).collect()
+    # overflow probe gate: blocks per term ≤ ⌈n_docs/BLOCK_SIZE⌉ plus
+    # one partial block per (salt, segment) run, so when the a-priori
+    # ceiling is comfortably under COLLECT_BOUND the wide collect
+    # cannot overflow and runs directly (the common case, one job).
+    # Only when the ceiling says overflow is POSSIBLE (10^9+-doc
+    # terms) does a narrow single-column count probe run first, so the
+    # overflow path never materializes COLLECT_BOUND wide rows (~100s
+    # of MB) on the driver just to discard them.  _RUN_SLACK covers
+    # the partial-block term: 16 salts × 256 live segments is far past
+    # any real manifest; an index beyond it merely pays the probe.
+    est_ceiling = len(terms) * (-(-n_docs // 128) + _RUN_SLACK)
+    overflowed = False
+    if est_ceiling > COLLECT_BOUND:
+        probe = (
+            meta.select("block_id").limit(COLLECT_BOUND + 1).count()
+        )
+        overflowed = probe > COLLECT_BOUND
+    rows = (
+        []
+        if overflowed
+        else meta.select(*sel).limit(COLLECT_BOUND + 1).collect()
+    )
     rest_arr = None
-    if len(rows) <= COLLECT_BOUND:
+    if not overflowed and len(rows) <= COLLECT_BOUND:
         import numpy as np
 
         meta_rows = rows
@@ -458,35 +517,81 @@ def _block_bounds(
         tau = max(taus) if taus else float("-inf")
         ub_others = {t: sum_ub - v for t, v in max_ubs.items()}
 
-        # overlap-rest bounds (see _overlap_rest) — used twice: to pick
-        # JOINT seed blocks here, and for the survivor filter later
-        rest_arr = _overlap_rest(rows)
+        # overlap-rest bounds (see _overlap_rest) — the ub variant
+        # feeds the survivor filter; the hi variant feeds the seed
+        # gate below.  One pass shares the run grouping + searches.
         ub_arr = np.array([r["ub"] for r in rows], dtype=np.float64)
-        f_arr = np.array([r["first_doc"] for r in rows], dtype=np.int64)
-        l_arr = np.array([r["last_doc"] for r in rows], dtype=np.int64)
-        term_arr = np.array([r["term"] for r in rows])
-        # per-term seeds alone miss multi-term docs (each term's best
-        # block usually covers a different doc region), leaving θ a
-        # single-term number that prunes nothing on unions.  Add the
-        # blocks with the best JOINT bound (ub + overlap-rest) plus,
-        # for each, the argmax partner block per other term — decoding
-        # those materializes the cross-term sums θ needs.
-        n_joint = max(2, -(-k // HI_RANK) + 1)
-        for i in np.argsort(-(ub_arr + rest_arr))[:n_joint]:
-            i = int(i)
-            seed_idx.add(i)
-            for t2 in by_term:
-                if t2 == rows[i]["term"]:
-                    continue
-                m = (
-                    (term_arr == t2)
-                    & (f_arr <= l_arr[i])
-                    & (l_arr >= f_arr[i])
-                )
-                if m.any():
-                    cand_idx = np.nonzero(m)[0]
-                    seed_idx.add(int(cand_idx[np.argmax(ub_arr[m])]))
-        seed_keys = [rows[i] for i in sorted(seed_idx)]
+        hi_arr = np.array([r["hi"] for r in rows], dtype=np.float64)
+        hi_n_arr = np.array([r["hi_n"] for r in rows], dtype=np.int64)
+        cnt_arr = np.array([r["count"] for r in rows],
+                           dtype=np.float64)
+        rest_arr, rest_hi = _overlap_rest(rows, [ub_arr, hi_arr])
+
+        # ---- adaptive seed gate ----------------------------------
+        # The seed-θ job (1.5) decodes ~8·|terms| payload blocks; on
+        # flat corpora (near-uniform impact bounds) no achievable θ
+        # can prune, so the job is pure overhead on every query
+        # (measured: +0.6 s at sf0.1, +2 s on the 53M-posting durable
+        # index).  Estimate the best θ the seed pass could plausibly
+        # find WITHOUT decoding: each block certifies hi_n postings
+        # scoring ≥ hi on its own term, and the best cross-term
+        # partial a seed doc could add is the hi of the overlapping
+        # partner blocks (rest_hi).  τ_joint = the k-th certified
+        # optimistic score (the τ construction run on hi + rest_hi
+        # instead of hi) ≥ any θ the decode would realistically
+        # produce on flat shapes, and tracks it closely on skewed
+        # ones (measured: predicts 0% on flat vs actual 0%; ≥13% on
+        # every skewed shape where seed pays, actual 11-94%).  When
+        # pruning at τ_joint would drop < _GATE_MIN_PRUNE of the
+        # postings, skip the seed job and prune with τ alone — the
+        # pre-seed single-phase plan.  The gate is an ESTIMATE used
+        # only to skip work; the pruning bound actually applied
+        # (ub + rest vs θ) stays sound either way.
+        o_arr = hi_arr + rest_hi
+        bound = ub_arr + rest_arr
+        total_cnt = float(cnt_arr.sum())
+        prune_frac_est = 0.0
+        if o_arr.size and total_cnt:
+            order = np.argsort(-o_arr)
+            cum_n = np.cumsum(hi_n_arr[order])
+            pos = int(np.searchsorted(cum_n, k))
+            tau_joint = float(o_arr[order[min(pos, len(o_arr) - 1)]])
+            prune_frac_est = (
+                float(cnt_arr[bound < tau_joint].sum()) / total_cnt
+            )
+        if prune_frac_est < _GATE_MIN_PRUNE:
+            seed_keys = None
+        else:
+            f_arr = np.array([r["first_doc"] for r in rows],
+                             dtype=np.int64)
+            l_arr = np.array([r["last_doc"] for r in rows],
+                             dtype=np.int64)
+            term_arr = np.array([r["term"] for r in rows])
+            # per-term seeds alone miss multi-term docs (each term's
+            # best block usually covers a different doc region),
+            # leaving θ a single-term number that prunes nothing on
+            # unions.  Add the blocks with the best JOINT bound
+            # (ub + overlap-rest) plus, for each, the argmax partner
+            # block per other term — decoding those materializes the
+            # cross-term sums θ needs.
+            n_joint = max(2, -(-k // HI_RANK) + 1)
+            for i in np.argsort(-bound)[:n_joint]:
+                i = int(i)
+                seed_idx.add(i)
+                for t2 in by_term:
+                    if t2 == rows[i]["term"]:
+                        continue
+                    m = (
+                        (term_arr == t2)
+                        & (f_arr <= l_arr[i])
+                        & (l_arr >= f_arr[i])
+                    )
+                    if m.any():
+                        cand_idx = np.nonzero(m)[0]
+                        seed_idx.add(
+                            int(cand_idx[np.argmax(ub_arr[m])])
+                        )
+            seed_keys = [rows[i] for i in sorted(seed_idx)]
     else:
         w = Window.partitionBy("term").orderBy(
             F.col("hi").desc()
