@@ -522,6 +522,7 @@ from .index.builder import salted_postings  # noqa: E402
 from .index.blocks import encode_blocks_df  # noqa: E402
 from .pipeline.dedup import (  # noqa: E402
     lsh_candidate_pairs,
+    minhash_dedup,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
@@ -610,10 +611,10 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_with_dups(spark, sf_dir)
-    sigs = minhash_signatures(docs, n_hashes=8)
-    cands = lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4)
-    return ngram_jaccard_pairs(docs, cands, threshold=0.5)
+    # fused pipeline: one corpus scan + tokenize feeds both the
+    # signature and verify stages (see minhash_dedup)
+    return minhash_dedup(_docs_with_dups(spark, sf_dir),
+                         n_hashes=8, n_bands=4, threshold=0.5)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1517,11 +1518,9 @@ def _get_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     like _IVF_CACHE/_BLOCKS_CACHE."""
     key = (sf_dir, id(spark.sparkContext))
     if key not in _PAIRS_CACHE:
-        docs = _docs_with_dups(spark, sf_dir)
-        sigs = minhash_signatures(docs, n_hashes=8)
-        cands = lsh_candidate_pairs(sigs, n_hashes=8, n_bands=4)
-        _PAIRS_CACHE[key] = ngram_jaccard_pairs(
-            docs, cands, threshold=0.5
+        _PAIRS_CACHE[key] = minhash_dedup(
+            _docs_with_dups(spark, sf_dir),
+            n_hashes=8, n_bands=4, threshold=0.5,
         ).persist()
     return _PAIRS_CACHE[key]
 
