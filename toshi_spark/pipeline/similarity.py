@@ -374,32 +374,40 @@ def ivf_assign(
     k_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iter: int = 1,
 ):
     """IVF coarse quantizer: deterministic seeded k-means.
 
     Seeding is data-defined (cell = pmod(vec_id, k_cells) → cell means)
-    so the whole construction — seed centroids, one Lloyd assignment,
-    refined centroids, final assignment — is reproducible on any
-    engine, including the SQL oracle.  Returns (assignment DF
-    (vec_id, cell), refined centroids dict) — the centroids are
-    metadata (k_cells × dim), broadcast to the probe step.
+    so the whole construction — seed centroids, ``n_iter`` Lloyd
+    refinements, final assignment — is reproducible on any engine,
+    including the SQL oracle (which replicates the default
+    ``n_iter=1``).  Returns (assignment DF (vec_id, cell), refined
+    centroids dict) — the centroids are metadata (k_cells × dim),
+    broadcast to the probe step.
+
+    ``n_iter`` is the build-quality dial: each extra iteration is one
+    more full assignment + centroid pass over the corpus and tightens
+    the cells (higher recall at fixed nprobe — measured recall/nprobe
+    rows in BASELINE.md).  A cell that empties out simply drops from
+    the centroid dict, as in a standard Lloyd run.
 
     Scale shape: assignment is a mapInArrow matmul per batch; centroid
-    (re)computation is a groupBy over rows × dim exploded values —
-    the classic IVF build, one pass per Lloyd iteration.
+    (re)computation is a map-side partial-sum kernel collected as
+    ≤ k_cells rows — the classic IVF build, one pass per iteration.
     """
     seeded = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col),
         F.pmod(F.col(id_col).cast("long"), F.lit(k_cells)).alias("cell"),
     )
-    c1 = _collect_centroids(seeded, vec_col)
-    a1 = _assign_cells(emb, c1, id_col, vec_col)
-    with_cell = emb.select(
-        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col)
-    ).join(a1, "vec_id")
-    c2 = _collect_centroids(with_cell, vec_col)
-    a2 = _assign_cells(emb, c2, id_col, vec_col)
-    return a2, c2
+    c = _collect_centroids(seeded, vec_col)
+    for _ in range(max(n_iter, 0)):
+        a = _assign_cells(emb, c, id_col, vec_col)
+        with_cell = emb.select(
+            F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col)
+        ).join(a, "vec_id")
+        c = _collect_centroids(with_cell, vec_col)
+    return _assign_cells(emb, c, id_col, vec_col), c
 
 
 def ivf_cluster(
