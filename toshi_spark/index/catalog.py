@@ -189,12 +189,20 @@ class IndexCatalog:
         job, so re-serializing per doc through add_document would only
         add a driver-side JSON round-trip).  Opstamp advances by one
         per doc, same as per-doc adds."""
+        self.stage_pending_stream(name, lines, len(lines))
+
+    def stage_pending_stream(self, name: str, lines, count: int) -> None:
+        """Streaming form of :meth:`stage_pending_lines`: ``lines`` is
+        any iterable (e.g. a generator over a spilled bulk file), so a
+        multi-hundred-MB validated batch appends to the pending buffer
+        without ever being held as a Python list.  ``count`` advances
+        the opstamp (one per doc, same as per-doc adds)."""
         pending = os.path.join(self._dir(name), "pending.jsonl")
         with open(pending, "a") as f:
             for line in lines:
                 f.write(line.rstrip("\n") + "\n")
         meta = self._meta(name)
-        meta["opstamp"] = int(meta.get("opstamp", 0)) + len(lines)
+        meta["opstamp"] = int(meta.get("opstamp", 0)) + count
         self._save_meta(name, meta)
 
     def flush(self, name: str) -> int:
