@@ -100,6 +100,7 @@ def main() -> None:
     # shows ~2x run-to-run noise under hypervisor CPU steal (documented
     # in BASELINE.md), so a single sample is not a serving metric
     timings: dict[str, float] = {}
+    spreads: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         fn(spark, sf_dir).collect()
@@ -109,6 +110,10 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             trials.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(trials), 4)
+        # min/max ride in extra so judge/builder can tell a real
+        # regression from one VM-steal-polluted trial without rerunning
+        spreads[name] = {"min": round(min(trials), 4),
+                         "max": round(max(trials), 4)}
 
     # ---- block-max pruning effectiveness on a crawl-shaped corpus.
     # The sf-dir documents table is flat (no host locality), where block
@@ -122,6 +127,15 @@ def main() -> None:
         skew = _blockmax_skewed(spark)
     except Exception as e:  # pragma: no cover
         skew = {"error": str(e)}
+
+    # ---- durable-index latencies (r4 VERDICT #8): the on-disk
+    # segmented index the ft_segmented query built above, re-opened
+    # from its manifest — single-term BM25 and the blockmax union as
+    # diffable per-round numbers instead of BASELINE.md prose
+    try:
+        durable = _durable_bench(spark, sf_dir)
+    except Exception as e:  # pragma: no cover
+        durable = {"error": str(e)}
 
     total = round(build_sec + sum(timings.values()), 4)
     out = {
@@ -142,10 +156,65 @@ def main() -> None:
                 statistics.median(timings.values()), 4
             ),
             "cpus": cpus,
+            "query_spread": spreads,
             "blockmax_skewed": skew,
+            "durable": durable,
         },
     }
     print(json.dumps(out))
+
+
+def _durable_bench(spark, sf_dir: str) -> dict:
+    """Latencies over the DURABLE segmented index (manifest-committed
+    parquet segments on disk): open-from-manifest, single-term BM25,
+    and the blockmax union.  Medians of 3 after one warm pass."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from toshi_spark.index.segments import (
+        Manifest,
+        open_blocks,
+        open_segmented_tables,
+    )
+    from toshi_spark.query.blockmax import blockmax_topk
+    from toshi_spark.scoring import bm25_score, topk
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"toshi_spark_seg_{tag}")
+    t0 = time.perf_counter()
+    t = open_segmented_tables(spark, idx_dir)
+    n_docs = t.n_docs  # forces the stats stitch
+    open_sec = time.perf_counter() - t0
+    n_segments = len(Manifest(idx_dir).entries())
+    blocks = open_blocks(spark, idx_dir)
+
+    def single():
+        matched = t.postings.filter(
+            (F.col("field") == "text") & (F.col("term") == "spark")
+        ).select("field", "term", "doc_id", "tf", "doc_len")
+        topk(bm25_score(matched, t.doclens, t.termstats, t.n_docs,
+                        t.fieldstats, tf_mode="full",
+                        unique_doc_terms=True), 20).collect()
+
+    def union():
+        blockmax_topk(blocks, t.termstats, t.doclens, t.fieldstats,
+                      t.n_docs, "text", ["query", "window", "stream"],
+                      20).collect()
+
+    out: dict = {"n_segments": n_segments, "n_docs": n_docs,
+                 "open_sec": round(open_sec, 4)}
+    for label, fn in (("single_term_sec", single),
+                      ("blockmax_union_sec", union)):
+        fn()  # warm
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            trials.append(time.perf_counter() - t0)
+        out[label] = round(statistics.median(trials), 4)
+    return out
 
 
 def _blockmax_skewed(spark) -> dict:
