@@ -56,7 +56,12 @@ _ACTIVE: dict[str, int] | None = None
 # CJK run): id → (strong dict ref, (max_word_len, log_total,
 # fingerprint)).  The strong ref both verifies identity and keeps the
 # id from being recycled by the allocator for a different dict.
+# BOUNDED (insertion-order LRU-ish, oldest evicted past the cap): the
+# strong refs would otherwise retain every dictionary ever installed
+# for the process lifetime — an unbounded leak in a long-lived driver
+# that swaps dictionaries.
 _STATS_CACHE: dict[int, tuple[dict, tuple[int, float, str]]] = {}
+_STATS_CACHE_MAX = 4
 
 
 def set_dictionary(dictionary: dict[str, int] | None) -> None:
@@ -86,8 +91,81 @@ def dict_stats(d: dict[str, int]) -> tuple[int, float, str]:
     for w in sorted(d):
         h.update(f"{w}\t{d[w]}\n".encode("utf-8"))
     stats = (max_len, log_total, h.hexdigest()[:16])
+    while len(_STATS_CACHE) >= _STATS_CACHE_MAX:
+        _STATS_CACHE.pop(next(iter(_STATS_CACHE)))
     _STATS_CACHE[key] = (d, stats)
     return stats
+
+
+def load_dict_txt(path_or_lines) -> dict[str, int]:
+    """Load a dictionary in jieba's public ``dict.txt`` format.
+
+    Each line is ``word freq [pos-tag]`` separated by whitespace
+    (jieba's ``gen_pfdict``): the part-of-speech tag, if present, is
+    ignored; blank lines and ``#`` comment lines are skipped; a
+    repeated word keeps the LAST entry (file order wins, matching
+    ``add_word`` overwrite semantics); ``freq`` must be a non-negative
+    integer — 0 is jieba's ``del_word`` idiom and stays in the dict so
+    the DAG guard excludes the word explicitly.
+
+    ``path_or_lines`` is a filesystem path or any iterable of lines.
+    Typical use::
+
+        set_dictionary(load_dict_txt("/path/to/jieba/dict.txt"))
+
+    making the ``cang_jie_dict`` tokenizer turnkey with jieba's own
+    published dictionary (MIT-licensed, not vendored here).
+    """
+    close = None
+    if isinstance(path_or_lines, (str, bytes)):
+        src = open(path_or_lines, encoding="utf-8")
+        close = src
+    else:
+        src = path_or_lines
+    out: dict[str, int] = {}
+    try:
+        for ln, line in enumerate(src, 1):
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) < 2:
+                raise ValueError(
+                    f"dict.txt line {ln}: expected 'word freq [tag]', "
+                    f"got {line!r}"
+                )
+            word, freq = parts[0], parts[1]
+            try:
+                f = int(freq)
+            except ValueError:
+                raise ValueError(
+                    f"dict.txt line {ln}: frequency {freq!r} is not an "
+                    "integer"
+                ) from None
+            if f < 0:
+                raise ValueError(
+                    f"dict.txt line {ln}: negative frequency {f}"
+                )
+            out[word] = f
+    finally:
+        if close is not None:
+            close.close()
+    if not out:
+        raise ValueError("dict.txt contained no entries")
+    return out
+
+
+def load_sample_dict() -> dict[str, int]:
+    """The packaged sample dictionary (``data/sample_dict.txt``, jieba
+    dict.txt format): ~90 common Mandarin words with plausible relative
+    frequencies — enough to make ``cang_jie_dict`` turnkey.  Production
+    deployments load jieba's full published dict.txt instead."""
+    import os
+
+    return load_dict_txt(
+        os.path.join(os.path.dirname(__file__), "data",
+                     "sample_dict.txt")
+    )
 
 
 def dictionary_fingerprint() -> str:

@@ -146,6 +146,12 @@ class IndexCatalog:
         Returns docs ingested.
         """
         schema = self.schema(name)
+        # terms are produced NOW, not at create: verify the current
+        # analyzer identity (incl. the cang_jie_dict dictionary
+        # fingerprint) still matches the create-time stamp, so a
+        # set_dictionary() between create and ingest fails the build
+        # loudly instead of stamping terms under the wrong identity
+        self._check_analyzer_versions(name, schema)
         text_fields = [f.name for f in schema.text_fields()]
         entries = build_segments(
             self.spark, corpus, self._dir(name), id_col=id_col,
@@ -217,6 +223,10 @@ class IndexCatalog:
         pending = os.path.join(self._dir(name), "pending.jsonl")
         if os.path.exists(pending) and os.path.getsize(pending) > 0:
             schema = self.schema(name)
+            # segment build = term production: the analyzer identity
+            # (incl. dictionary fingerprint) must still match the
+            # create-time stamp — see ingest()
+            self._check_analyzer_versions(name, schema)
             with open(pending) as f:
                 docs = [json.loads(line) for line in f if line.strip()]
             # writer-assigned doc ids (reference: Tantivy assigns ids on

@@ -30,7 +30,7 @@ def ship_package(spark: SparkSession) -> None:
         with zipfile.ZipFile(tmp, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 for f in files:
-                    if f.endswith(".py"):
+                    if f.endswith((".py", ".txt")):
                         full = os.path.join(root, f)
                         rel = os.path.join(
                             "toshi_spark", os.path.relpath(full, pkg_dir)
