@@ -246,3 +246,88 @@ def test_bulk_distributed_50mb_spills_off_driver(spark, tmp_path_factory):
     assert code_s == code_d == 400
     assert "expected u64" in resp_s["message"]
     assert resp_s["message"] == resp_d["message"]
+
+
+def test_flush_distributed_parse_matches_driver_path(
+        spark, tmp_path_factory):
+    """Large pending buffers parse as a Spark job at flush (the staged
+    distributed-bulk batch no longer re-parses through a serial driver
+    loop).  Same docs through both paths — writer-assigned ids, an
+    array-promoted multi-valued field — must yield identical search
+    results, stored-field rendering, and id assignment."""
+    docs = []
+    for i in range(40):
+        d = {"test_text": f"word{i % 5} common", "test_i64": i,
+             "test_u64": i, "test_unindex": "x", "test_facet": "/a/b"}
+        if i % 7 == 0:
+            d["test_text"] = [d["test_text"], "extra value"]  # array
+        docs.append(d)
+    body = "\n".join(json.dumps(d) for d in docs)
+
+    results = {}
+    for label, flush_bytes in (("driver", 1 << 30), ("dist", 1)):
+        cat = IndexCatalog(
+            spark, str(tmp_path_factory.mktemp(f"fl_{label}")),
+            flush_distributed_bytes=flush_bytes,
+        )
+        a = ToshiApi(cat)
+        code, _ = a.handle("PUT", "/fx/_create", SCHEMA_BODY)
+        assert code == 201
+        code, resp = a.handle("POST", "/fx/_bulk", body)
+        assert code == 201 and resp["docs"] == 40
+        code, resp = a.handle("GET", "/fx/_flush")
+        assert code == 200 and resp["opstamp"] == 40
+        code, search = a.handle(
+            "POST", "/fx",
+            {"query": {"term": {"test_text": "common"}}, "limit": 100},
+        )
+        assert code == 200 and search["hits"] == 40
+        code, extra = a.handle(
+            "POST", "/fx",
+            {"query": {"term": {"test_text": "extra"}}, "limit": 100},
+        )
+        docs_by_u64 = {
+            d["doc"]["test_u64"]: (d["doc"], round(d["score"], 6))
+            for d in search["docs"]
+        }
+        results[label] = (
+            docs_by_u64,
+            extra["hits"],
+            cat._meta("fx")["next_doc_id"],
+        )
+    assert results["driver"][1] == results["dist"][1] == 6  # array docs
+    assert results["driver"][2] == results["dist"][2]
+    assert results["driver"][0] == results["dist"][0]
+
+
+def test_flush_distributed_mixed_explicit_ids(spark, tmp_path_factory):
+    """Catalog-level: a pending buffer mixing explicit and missing
+    doc_ids (stage_pending_lines bypasses API validation, as the
+    segment-ingest tooling does) assigns writer ids to the missing
+    docs in LINE ORDER on both parse paths."""
+    lines = []
+    for i in range(30):
+        d = {"test_text": f"tok{i}", "test_i64": i, "test_u64": i,
+             "test_unindex": "x", "test_facet": "/a/b"}
+        if i % 3 == 0:
+            d["doc_id"] = 900 + i
+        lines.append(json.dumps(d))
+
+    ids_by_path = {}
+    for label, flush_bytes in (("driver", 1 << 30), ("dist", 1)):
+        cat = IndexCatalog(
+            spark, str(tmp_path_factory.mktemp(f"mx_{label}")),
+            flush_distributed_bytes=flush_bytes,
+        )
+        a = ToshiApi(cat)
+        code, _ = a.handle("PUT", "/mx/_create", SCHEMA_BODY)
+        assert code == 201
+        cat.stage_pending_lines("mx", lines)
+        cat.flush("mx")
+        ix = cat.open("mx")
+        rows = {r["test_u64"][0] if isinstance(r["test_u64"], list)
+                else r["test_u64"]: r["doc_id"]
+                for r in ix.corpus.select("doc_id", "test_u64").collect()}
+        ids_by_path[label] = rows
+        assert rows[0] == 900 and rows[3] == 903   # explicit kept
+    assert ids_by_path["driver"] == ids_by_path["dist"]

@@ -40,10 +40,19 @@ from .segments import (
 )
 
 
+# pending buffers above this size parse DISTRIBUTED at flush (the
+# driver-side json.loads loop over a staged multi-hundred-MB
+# distributed-bulk batch was the last serial parse in the ingest path)
+DEFAULT_FLUSH_DISTRIBUTED_BYTES = 16 << 20
+
+
 class IndexCatalog:
-    def __init__(self, spark: SparkSession, base_path: str):
+    def __init__(self, spark: SparkSession, base_path: str,
+                 flush_distributed_bytes: int =
+                 DEFAULT_FLUSH_DISTRIBUTED_BYTES):
         self.spark = spark
         self.base_path = base_path
+        self.flush_distributed_bytes = flush_distributed_bytes
         os.makedirs(base_path, exist_ok=True)
 
     def _dir(self, name: str) -> str:
@@ -227,34 +236,31 @@ class IndexCatalog:
             # (incl. dictionary fingerprint) must still match the
             # create-time stamp — see ingest()
             self._check_analyzer_versions(name, schema)
-            with open(pending) as f:
-                docs = [json.loads(line) for line in f if line.strip()]
             # writer-assigned doc ids (reference: Tantivy assigns ids on
             # add; our deterministic equivalent is a persisted counter)
             next_id = int(meta.get("next_doc_id", 0))
-            for doc in docs:
-                if "doc_id" not in doc:
-                    doc["doc_id"] = next_id
-                    next_id += 1
-            meta["next_doc_id"] = next_id
-            # multi-valued fields: once ANY doc supplies an array for a
-            # field, that field's row-store column becomes array-typed
-            # for every doc (sticky, recorded in index.json) — parquet
-            # cannot mix string and array<string> across appends.
-            # Render collapses singletons back (FlatNamedDocument).
-            array_fields = set(meta.get("array_fields", []))
-            for doc in docs:
-                for k, v in doc.items():
-                    if isinstance(v, list):
-                        array_fields.add(k)
+            sticky = set(meta.get("array_fields", []))
+            distributed = (
+                os.path.getsize(pending) > self.flush_distributed_bytes
+            )
+            if distributed:
+                sdf, array_fields, n_new_ids = (
+                    self._parse_pending_distributed(
+                        pending, schema, next_id, sticky
+                    )
+                )
+                # one parse for the three downstream actions (postings
+                # build, segment write, rowstore write) — and pins the
+                # rows before the pending file is deleted below
+                sdf = sdf.persist()
+            else:
+                sdf, array_fields, n_new_ids = (
+                    self._parse_pending_driver(pending, next_id, sticky)
+                )
+            meta["next_doc_id"] = next_id + n_new_ids
             if array_fields:
                 self._promote_rowstore_arrays(name, array_fields, meta)
-                for doc in docs:
-                    for k in array_fields:
-                        if k in doc and not isinstance(doc[k], list):
-                            doc[k] = [doc[k]]
                 meta["array_fields"] = sorted(array_fields)
-            sdf = self.spark.createDataFrame(docs)
             text_fields = [f.name for f in schema.text_fields()]
             tables = build_index(
                 sdf, id_col="doc_id", text_fields=text_fields,
@@ -280,6 +286,8 @@ class IndexCatalog:
             sdf.write.mode("overwrite").parquet(
                 os.path.join(rowstore, f"flush-{seg_id}")
             )
+            if distributed:
+                sdf.unpersist()
             os.remove(pending)
         # deletes become visible at the commit point, like the reference
         self._promote_pending_tombstones(name)
@@ -289,6 +297,168 @@ class IndexCatalog:
         # commit (settings.rs:190-201): compact due buckets now
         self._auto_merge(name)
         return opstamp
+
+    def _parse_pending_driver(self, pending: str, next_id: int,
+                              sticky: set[str]):
+        """Small-buffer flush parse (driver-side json.loads loop).
+
+        Multi-valued fields: once ANY doc supplies an array for a
+        field, that field's row-store column becomes array-typed for
+        every doc (sticky, recorded in index.json) — parquet cannot
+        mix string and array<string> across appends.  Render collapses
+        singletons back (FlatNamedDocument).  Returns (sdf,
+        array_fields incl. sticky, count of writer-assigned ids).
+        """
+        with open(pending) as f:
+            docs = [json.loads(line) for line in f if line.strip()]
+        n_new = 0
+        for doc in docs:
+            if "doc_id" not in doc:
+                doc["doc_id"] = next_id + n_new
+                n_new += 1
+        array_fields = set(sticky)
+        for doc in docs:
+            for k, v in doc.items():
+                if isinstance(v, list):
+                    array_fields.add(k)
+        if array_fields:
+            for doc in docs:
+                for k in array_fields:
+                    if k in doc and not isinstance(doc[k], list):
+                        doc[k] = [doc[k]]
+        return self.spark.createDataFrame(docs), array_fields, n_new
+
+    def _parse_pending_distributed(self, pending: str,
+                                   schema: IndexSchema, next_id: int,
+                                   sticky: set[str]):
+        """Large-buffer flush parse as a Spark job (same semantics as
+        the driver path, verified by A/B test): a staged
+        distributed-bulk batch re-parsed through a serial driver loop
+        was the last single-threaded stage in the ingest path.
+
+        Two distributed passes over the buffer (json.loads twice, but
+        N-wide): pass 1 discovers the seen-field set, which fields are
+        array-valued anywhere (the sticky promotion rule needs GLOBAL
+        knowledge before any row is emitted), and how many docs need
+        writer-assigned ids; pass 2 emits typed rows against the
+        schema computed from pass 1.  Per-line ordinals (zipWithIndex
+        over the offset-ordered text read) make writer-assigned ids
+        deterministic in LINE ORDER, byte-identical to the driver
+        loop's next_id++.
+        """
+        spark = self.spark
+        rdd = (
+            spark.read.text(pending).rdd
+            .map(lambda r: r[0])
+            .filter(lambda s: s.strip())
+            .zipWithIndex()
+        )
+        ldf = spark.createDataFrame(rdd, "line string, _ln long")
+
+        def probe(batches):
+            import json as _json
+
+            import pandas as _pd
+
+            for pdf in batches:
+                arr: set[str] = set()
+                seen: set[str] = set()
+                missing = 0
+                for line in pdf["line"]:
+                    d = _json.loads(line)
+                    seen.update(d.keys())
+                    for k, v in d.items():
+                        if isinstance(v, list):
+                            arr.add(k)
+                    if "doc_id" not in d:
+                        missing += 1
+                yield _pd.DataFrame({
+                    "arr": [sorted(arr)], "seen": [sorted(seen)],
+                    "missing": [missing],
+                })
+
+        stats = ldf.mapInPandas(
+            probe, "arr array<string>, seen array<string>, missing long"
+        ).collect()
+        seen_fields: set[str] = set()
+        array_fields = set(sticky)
+        n_missing = 0
+        for r in stats:
+            seen_fields.update(r["seen"])
+            array_fields.update(r["arr"])
+            n_missing += int(r["missing"])
+        seen_fields.discard("doc_id")
+
+        def spark_type(f: str) -> str:
+            spec = schema.get(f)
+            base = (
+                "long"
+                if spec is not None and spec.ftype in ("i64", "u64")
+                else "string"
+            )
+            return f"array<{base}>" if f in array_fields else base
+
+        fields = sorted(seen_fields)
+        out_schema = ", ".join(
+            ["doc_id long", "_ln long"]
+            + [f"`{f}` {spark_type(f)}" for f in fields]
+        )
+        arrf = frozenset(array_fields)
+
+        def parse(batches):
+            import json as _json
+
+            import pandas as _pd
+
+            for pdf in batches:
+                cols: dict[str, list] = {f: [] for f in fields}
+                ids: list = []
+                lns: list[int] = []
+                for line, ln in zip(pdf["line"], pdf["_ln"]):
+                    d = _json.loads(line)
+                    ids.append(d.get("doc_id"))
+                    lns.append(int(ln))
+                    for f in fields:
+                        v = d.get(f)
+                        if (f in arrf and v is not None
+                                and not isinstance(v, list)):
+                            v = [v]
+                        cols[f].append(v)
+                yield _pd.DataFrame({"doc_id": _pd.Series(
+                    ids, dtype="object"), "_ln": lns, **cols})
+
+        out = ldf.mapInPandas(parse, out_schema)
+        if n_missing == 0:
+            sdf = out.drop("_ln")
+        else:
+            total = ldf.count()
+            if n_missing == total:
+                # every doc needs an id: ordinals are dense, so the
+                # assignment is a pure column expression — no shuffle
+                sdf = out.withColumn(
+                    "doc_id", F.lit(next_id) + F.col("_ln")
+                ).drop("_ln")
+            else:
+                # mixed batch (some docs carry ids): rank the missing
+                # ones by line order.  The global window sorts ONLY
+                # the missing rows on one partition — a rare shape
+                # (APIs either assign ids or don't); documented trade.
+                from pyspark.sql.window import Window
+
+                w = Window.orderBy("_ln")
+                missing = (
+                    out.filter(F.col("doc_id").isNull())
+                    .withColumn(
+                        "doc_id",
+                        F.lit(next_id) + F.row_number().over(w) - 1,
+                    )
+                )
+                sdf = (
+                    out.filter(F.col("doc_id").isNotNull())
+                    .unionByName(missing)
+                    .drop("_ln")
+                )
+        return sdf, array_fields, n_missing
 
     def _auto_merge(self, name: str) -> list[str]:
         from .merge import run_merge
