@@ -281,20 +281,47 @@ def _seed_theta(
         if has_seg:
             c = c & (F.col("seg") == r["seg"])
         cond = c if cond is None else (cond | c)
-    seed = decode_blocks_df(
-        meta.filter(cond).select(
-            "field", "term", "first_doc", "doc_deltas", "tfs", "dls"
-        )
-    )
-    kth = (
-        _partial_scores(seed, dfs, n_docs, avgdl, tf_mode)
-        .orderBy(F.col("score").desc())
-        .limit(k)
-        .collect()
-    )
-    if len(kth) < k:
+    # ONE narrow pushed-filter collect of the ≤ |seed| payload rows,
+    # scored DRIVER-SIDE in numpy: the seed set is a metadata-chosen
+    # handful of blocks (≤ _SEED_CAP·|terms| + joint ≈ a few thousand
+    # postings), so the previous decode → groupBy → orderBy → collect
+    # Spark job was pure scheduling overhead per query.  Per-posting
+    # arithmetic mirrors tf_norm_dyn exactly; accumulation-order ulp
+    # drift vs the SQL plan is absorbed by _BOUND_GUARD, the same
+    # cross-provenance guard the survivor filter already needs.
+    rows = meta.filter(cond).select(
+        "term", "first_doc", "doc_deltas", "tfs", "dls"
+    ).collect()
+    if not rows:
         return tau - _BOUND_GUARD
-    return max(tau, kth[-1]["score"]) - _BOUND_GUARD
+    import numpy as np
+
+    from ..index.blocks import varint_decode
+
+    idf = {
+        t: math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        for t, df_t in dfs.items()
+    }
+    a = K1 * (1.0 - B)
+    c_q = K1 * B / max(avgdl, 1e-300)
+    acc: dict[int, float] = {}
+    for r in rows:
+        deltas = varint_decode(bytes(r["doc_deltas"])).astype(np.int64)
+        docs = np.cumsum(deltas) + r["first_doc"]
+        dls = varint_decode(bytes(r["dls"])).astype(np.float64)
+        if tf_mode == "basic":
+            tf = np.ones_like(dls)
+        else:
+            tf = varint_decode(bytes(r["tfs"])).astype(np.float64)
+        scores = idf[r["term"]] * (
+            tf * (K1 + 1.0) / (tf + a + c_q * dls)
+        )
+        for d, s in zip(docs.tolist(), scores.tolist()):
+            acc[d] = acc.get(d, 0.0) + s
+    if len(acc) < k:
+        return tau - _BOUND_GUARD
+    kth = sorted(acc.values(), reverse=True)[k - 1]
+    return max(tau, kth) - _BOUND_GUARD
 
 
 # surviving-key lists up to this size inline as an isin literal; above
