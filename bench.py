@@ -70,6 +70,10 @@ BENCH_QUERIES = [
     "ft_raw_fuzzy",
     "ft_delete_visibility",
     "dedup_survivors",
+    # round 5: new web-pipeline stages
+    "paragraph_dedup",
+    "url_canonicalize",
+    "host_stats",
 ]
 
 

@@ -469,3 +469,99 @@ def dedup_clusters(
     return labels.select(
         F.col("v_id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 12,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet/Gopher web-pipeline
+    stage: boilerplate paragraphs repeat across pages far more often
+    than whole pages do, so dedup below document granularity recovers
+    unique content page-level dedup cannot).
+
+    Documents are split on single spaces into fixed-width
+    ``para_tokens``-token paragraphs (a deterministic stand-in for
+    newline paragraphs, which the synthetic corpus lacks); only the
+    globally FIRST occurrence of each distinct paragraph — ordered by
+    (doc_id, para_idx) — is retained.  Returns one row per input doc:
+
+        (doc_id, n_paras, n_kept, kept_text)
+
+    where ``kept_text`` is the surviving paragraphs re-joined in
+    original order ('' when every paragraph was seen earlier).
+
+    Scale shape: split/slice/posexplode are map-only whole-stage
+    codegen; the first-occurrence choice is a ``min(struct)`` groupBy
+    on the paragraph hash (map-side partial agg — duplicate-heavy
+    corpora collapse BEFORE the shuffle, so the exchange carries one
+    row per distinct paragraph) followed by one hash-join back and a
+    map-side-combinable groupBy(doc).  No windows, no driver state; a
+    boilerplate paragraph repeated a billion times is one row after
+    partial aggregation, so key skew is absorbed map-side.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+            .alias("_t"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(
+                            F.size("_t") / F.lit(float(para_tokens))
+                        ).cast("int")
+                        - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("_t"),
+                            i * para_tokens + 1,
+                            para_tokens,
+                        ),
+                        " ",
+                    ),
+                )
+            ).alias("para_idx", "para"),
+        )
+    )
+    # first occurrence per distinct paragraph content; join on the
+    # md5 (16 bytes) rather than the paragraph text so the shuffled
+    # key is fixed-width
+    firsts = (
+        paras.groupBy(
+            F.md5(F.encode("para", "utf-8")).alias("_ph")
+        )
+        .agg(F.min(F.struct("doc_id", "para_idx")).alias("_first"))
+    )
+    marked = paras.withColumn(
+        "_ph", F.md5(F.encode("para", "utf-8"))
+    ).join(firsts, "_ph").withColumn(
+        "_kept",
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("para_idx") == F.col("_first.para_idx")),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("_kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_kept"),
+                            F.struct("para_idx", "para"),
+                        )
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )

@@ -159,3 +159,131 @@ def strip_boilerplate(
         .join(reassembled, "doc_id", "left")
         .select("doc_id", F.coalesce(out_col, F.lit("")).alias(out_col))
     )
+
+
+# --- URL canonicalization (crawl frontier / URL-level dedup stage) ------
+#
+# Common-Crawl-style pipelines dedup and join on CANONICAL urls: the
+# same page is crawled as http://WWW.Site.com:80/a/?b=2&a=1#frag and
+# https://site.com/a?a=1&b=2, and url-level joins (seen-lists, host
+# reputations, robots caches) only work after normalization.  Rules
+# (the conservative, semantics-preserving subset of RFC 3986 §6):
+#   scheme + host lowercased; leading "www." dropped; default port
+#   (:80 http / :443 https) dropped; fragment dropped; query params
+#   split, tracking params (utm_*) removed, remainder sorted and
+#   re-joined; trailing path slash collapsed ('/' root kept).
+# Everything is JVM column algebra (split/regexp/array_sort — fused
+# into the scan at crawl scale, zero shuffle); the DuckDB oracle
+# mirrors each step with split_part/list_sort over the same regexes.
+
+SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+WWW_RE = r"^www\."
+TRAIL_SLASH_RE = "/+$"
+
+
+def canonicalize_url_cols(url: Column) -> dict[str, Column]:
+    """Column expressions: raw url → scheme/host/path/query/canonical."""
+    scheme = F.lower(F.regexp_extract(url, SCHEME_RE, 1))
+    after = F.regexp_replace(url, SCHEME_RE, "")
+    nofrag = F.substring_index(after, "#", 1)
+    pre_q = F.substring_index(nofrag, "?", 1)
+    qpos = F.instr(nofrag, "?")
+    query = F.when(
+        qpos > 0,
+        F.substring(nofrag, qpos + F.lit(1), F.length(nofrag)),
+    ).otherwise(F.lit(""))
+    hostport = F.lower(F.substring_index(pre_q, "/", 1))
+    ppos = F.instr(pre_q, "/")
+    path = F.when(
+        ppos > 0, F.substring(pre_q, ppos, F.length(pre_q))
+    ).otherwise(F.lit("/"))
+    host = F.regexp_replace(hostport, WWW_RE, "")
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    path = F.regexp_replace(path, TRAIL_SLASH_RE, "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & (~p.startswith("utm_")),
+        )
+    )
+    qsorted = F.array_join(params, "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qsorted != "", F.concat(F.lit("?"), qsorted)).otherwise(
+            F.lit("")
+        ),
+    )
+    return {
+        "scheme": scheme,
+        "host": host,
+        "path": path,
+        "query_sorted": qsorted,
+        "canonical_url": canonical,
+    }
+
+
+def canonicalize_urls(
+    pages: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Add (scheme, host, path, query_sorted, canonical_url) columns."""
+    cols = canonicalize_url_cols(F.col(url_col))
+    return pages.withColumns(cols)
+
+
+def oracle_canonicalize_sql(url_expr: str, source: str) -> str:
+    """The same canonicalization as a DuckDB query over ``source``
+    (a relation exposing ``doc_id`` and the columns ``url_expr``
+    uses); yields (doc_id, scheme, host, path, query_sorted,
+    canonical_url).  Shares SCHEME_RE / WWW_RE / TRAIL_SLASH_RE with
+    the Spark path verbatim."""
+    return f"""
+SELECT doc_id, scheme, host, path, query_sorted,
+       scheme || '://' || host || path ||
+       CASE WHEN query_sorted <> '' THEN '?' || query_sorted
+            ELSE '' END AS canonical_url
+FROM (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(host0, ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(host0, ':443$', '')
+              ELSE host0 END AS host,
+         CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+         array_to_string(
+           list_sort(list_filter(string_split(query, '&'),
+             p -> p <> '' AND NOT starts_with(p, 'utm_'))),
+           '&') AS query_sorted
+  FROM (
+    SELECT doc_id, scheme,
+           regexp_replace(lower(split_part(pre_q, '/', 1)),
+                          '{WWW_RE}', '') AS host0,
+           regexp_replace(
+             CASE WHEN strpos(pre_q, '/') > 0
+                  THEN substr(pre_q, strpos(pre_q, '/'))
+                  ELSE '/' END,
+             '{TRAIL_SLASH_RE}', '') AS path0,
+           CASE WHEN strpos(nofrag, '?') > 0
+                THEN substr(nofrag, strpos(nofrag, '?') + 1)
+                ELSE '' END AS query
+    FROM (
+      SELECT doc_id, split_part(nofrag, '?', 1) AS pre_q, nofrag,
+             scheme
+      FROM (
+        SELECT doc_id,
+               lower(regexp_extract(u, '{SCHEME_RE}', 1)) AS scheme,
+               split_part(regexp_replace(u, '{SCHEME_RE}', ''),
+                          '#', 1) AS nofrag
+        FROM (SELECT doc_id, {url_expr} AS u FROM {source})
+      )
+    )
+  )
+)
+"""

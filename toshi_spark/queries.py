@@ -1855,3 +1855,147 @@ SELECT doc_id,
 FROM px GROUP BY doc_id
 """
 QUERIES["multimodal_decode"] = q_multimodal_decode
+
+
+# --- Paragraph-level dedup (CCNet/Gopher web-pipeline stage) -------------
+#
+# Sub-document dedup: boilerplate paragraphs repeat across pages far
+# more often than whole pages do.  Paragraphs here are fixed 12-token
+# windows over the space-split text (the synthetic corpus has no
+# newline paragraphs); the first global occurrence by (doc_id,
+# para_idx) survives.  The oracle reproduces the split, the
+# min-(doc,idx) choice and the order-preserving reassembly exactly.
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.dedup import paragraph_dedup
+
+    return paragraph_dedup(load_documents(spark, sf_dir),
+                           para_tokens=12)
+
+
+ORACLES["paragraph_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(
+           0, CAST(ceil(len(t) / 12.0) AS BIGINT) - 1)) AS para_idx
+  FROM toks
+),
+paras AS (
+  SELECT doc_id, para_idx,
+         array_to_string(
+           t[para_idx * 12 + 1 : para_idx * 12 + 12], ' ') AS para
+  FROM idx
+),
+firsts AS (
+  SELECT para,
+         min(doc_id * 1000000000 + para_idx) AS first_key
+  FROM paras GROUP BY para
+),
+marked AS (
+  SELECT p.doc_id, p.para_idx, p.para,
+         (p.doc_id * 1000000000 + p.para_idx) = f.first_key AS kept
+  FROM paras p JOIN firsts f USING (para)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(para, ' ' ORDER BY para_idx)
+                FILTER (WHERE kept), '') AS kept_text
+FROM marked GROUP BY doc_id
+"""
+QUERIES["paragraph_dedup"] = q_paragraph_dedup
+
+
+# --- URL canonicalization + host aggregation (crawl-frontier stage) ------
+#
+# The oracle tables carry no url column, so (like extract_text's
+# synthesized pages) each doc gets a deterministic raw url exercising
+# every rule: mixed-case scheme/host, www. prefix, default and
+# explicit ports, trailing slash, tracking params, unsorted query,
+# fragment.  Both engines build the url from doc_id with the same
+# arithmetic, then canonicalize independently.
+
+
+def _synth_url_col() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("HTTP"),
+        F.when(d % 2 == 0, F.lit("S")).otherwise(F.lit("")),
+        F.lit("://WWW.Site"), (d % 37).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 11 == 0, F.lit(":8080"))
+        .when(d % 2 == 0, F.lit(":443"))
+        .otherwise(F.lit(":80")),
+        F.lit("/Path/"), d.cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&b="), (d % 5).cast("string"),
+        F.lit("&a=1#Sec"), (d % 7).cast("string"),
+    )
+
+
+_SYNTH_URL_SQL = (
+    "'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END || "
+    "'://WWW.Site' || CAST(doc_id % 37 AS VARCHAR) || '.Example.COM' "
+    "|| CASE WHEN doc_id % 11 = 0 THEN ':8080' "
+    "WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END || "
+    "'/Path/' || CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+    "'?utm_source=feed&b=' || CAST(doc_id % 5 AS VARCHAR) || "
+    "'&a=1#Sec' || CAST(doc_id % 7 AS VARCHAR)"
+)
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.webtext import canonicalize_urls
+
+    pages = load_documents(spark, sf_dir).select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    return canonicalize_urls(pages).select(
+        "doc_id", "scheme", "host", "path", "query_sorted",
+        "canonical_url",
+    )
+
+
+def _url_canonicalize_oracle() -> str:
+    from .pipeline.webtext import oracle_canonicalize_sql
+
+    return oracle_canonicalize_sql(_SYNTH_URL_SQL, "documents")
+
+
+ORACLES["url_canonicalize"] = _url_canonicalize_oracle()
+QUERIES["url_canonicalize"] = q_url_canonicalize
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level rollup over canonical urls: the crawl-side join
+    table (per-host page counts / byte budgets) every frontier and
+    reputation system keys on.  One map-side-combinable groupBy."""
+    from .pipeline.webtext import canonicalize_urls
+
+    pages = load_documents(spark, sf_dir).select(
+        "doc_id", "n_chars", _synth_url_col().alias("url")
+    )
+    return (
+        canonicalize_urls(pages)
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+ORACLES["host_stats"] = f"""
+WITH canon AS ({_url_canonicalize_oracle()})
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM canon c JOIN documents d USING (doc_id)
+GROUP BY host
+"""
+QUERIES["host_stats"] = q_host_stats
