@@ -74,6 +74,11 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "url_canonicalize",
     "host_stats",
+    # round 5: training-data assembly stages
+    "contamination",
+    "pack_sequences",
+    "lm_score",
+    "blocklist_filter",
 ]
 
 

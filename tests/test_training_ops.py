@@ -1,0 +1,112 @@
+"""Unit tests for pipeline.training: decontamination, sequence
+packing, corpus-LM scoring, host blocklist."""
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from toshi_spark.pipeline.training import (
+    blocklist_filter,
+    contamination,
+    lm_score,
+    pack_sequences,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_contamination_flags_shared_ngram(spark):
+    eval_gram = "a b c d"
+    docs = _docs(spark, [
+        f"x y {eval_gram} z w",          # contaminated (contains gram)
+        "p q r s t u v",                 # clean
+        f"{eval_gram}",                  # exactly the gram
+        "a b c x d",                     # broken gram: clean
+    ])
+    ev = spark.createDataFrame([Row(gram=eval_gram)])
+    out = {r["doc_id"]: r for r in
+           contamination(docs, ev, n=4).collect()}
+    assert out[0]["contaminated"] and out[0]["n_hits"] == 1
+    assert not out[1]["contaminated"] and out[1]["n_hits"] == 0
+    assert out[2]["contaminated"] and out[2]["n_grams"] == 1
+    assert not out[3]["contaminated"]
+    # n_grams is len - n + 1
+    assert out[0]["n_grams"] == 8 - 4 + 1
+
+
+def test_contamination_short_doc_zero_grams(spark):
+    docs = _docs(spark, ["a b", ""])
+    ev = spark.createDataFrame([Row(gram="a b c d")])
+    out = {r["doc_id"]: r for r in
+           contamination(docs, ev, n=4).collect()}
+    assert out[0]["n_grams"] == 0 and not out[0]["contaminated"]
+    assert out[1]["n_grams"] == 0 and not out[1]["contaminated"]
+
+
+def test_pack_sequences_offsets_and_spans(spark):
+    # token counts: 3, 0, 5, 2  ->  exclusive offsets 0, 3, 3, 8
+    docs = _docs(spark, ["a b c", "", "d e f g h", "i j"])
+    out = {r["doc_id"]: r for r in
+           pack_sequences(docs, seq_len=4).collect()}
+    assert [out[i]["tok_offset"] for i in range(4)] == [0, 3, 3, 8]
+    assert out[0]["seq_first"] == 0 and out[0]["seq_last"] == 0
+    # doc 2 spans tokens 3..7 -> seqs 0..1
+    assert (out[2]["seq_first"], out[2]["seq_last"],
+            out[2]["n_seqs"]) == (0, 1, 2)
+    # empty doc occupies no sequence but keeps a position
+    assert out[1]["n_seqs"] == 0
+    # doc 3 spans tokens 8..9 -> seq 2 only
+    assert (out[3]["seq_first"], out[3]["seq_last"],
+            out[3]["n_seqs"]) == (2, 2, 1)
+
+
+def test_pack_sequences_partition_invariant(spark):
+    texts = [f"tok{i} " * (i % 7) for i in range(101)]
+    docs = _docs(spark, texts)
+    a = sorted(map(tuple, pack_sequences(
+        docs, seq_len=16, num_partitions=1).collect()))
+    b = sorted(map(tuple, pack_sequences(
+        docs, seq_len=16, num_partitions=13).collect()))
+    assert a == b
+    # global invariant: offsets are a true prefix sum in doc_id order
+    rows = sorted(a)
+    run = 0
+    for r in rows:
+        assert r[2] == run
+        run += r[1]
+
+
+def test_lm_score_hand_computed(spark):
+    # corpus: "a b a b" + "a b" -> bigrams: (a,b)x3, (b,a)x1
+    # unigrams: a x3, b x3; V = 2
+    docs = _docs(spark, ["a b a b", "a b"])
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    p_ab = (3 + 1.0) / (3 + 2.0)
+    p_ba = (1 + 1.0) / (3 + 2.0)
+    exp0 = round(-(2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
+    exp1 = round(-math.log(p_ab), 4)
+    assert out[0]["n_bigrams"] == 3
+    assert abs(out[0]["lm_nll"] - exp0) < 1e-9
+    assert abs(out[1]["lm_nll"] - exp1) < 1e-9
+
+
+def test_lm_score_short_docs_zero(spark):
+    docs = _docs(spark, ["solo", ""])
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    for i in (0, 1):
+        assert out[i]["n_bigrams"] == 0 and out[i]["lm_nll"] == 0.0
+
+
+def test_blocklist_strips_port_and_aliases(spark):
+    pages = spark.createDataFrame([
+        Row(doc_id=0, url="HTTP://WWW.Evil.COM:80/x"),
+        Row(doc_id=1, url="https://evil.com:8443/y"),
+        Row(doc_id=2, url="https://good.com/z"),
+    ])
+    blocked = spark.createDataFrame([Row(host="evil.com")])
+    kept = blocklist_filter(pages, blocked).select("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [2]

@@ -1,0 +1,377 @@
+"""Training-data assembly operators: decontamination, sequence
+packing, and n-gram LM quality scoring.
+
+These are the stages that sit BETWEEN a deduplicated web corpus and an
+actual LLM training run (the reference engine stops at search-serving;
+a crawl-scale corpus feeding a training job additionally needs these
+— they are first-class pipeline citizens alongside dedup/quality in
+toshi_spark.pipeline):
+
+* ``contamination`` — GPT-3-appendix-C-style benchmark decontamination:
+  flag every training document sharing an n-gram with the evaluation
+  set.  The eval set is tiny (1e5-1e6 n-grams even for a large
+  benchmark suite) so the join is a broadcast hash join against the
+  data-scale n-gram stream — map-side, no shuffle of the corpus.
+* ``pack_sequences`` — concat-and-chunk packing: lay every document's
+  tokens end-to-end in doc_id order and cut fixed-length training
+  sequences.  Needs a GLOBAL exclusive prefix sum of token counts; a
+  bare ``Window.orderBy`` computes it on ONE partition (the classic
+  single-reducer scale killer), so this implements the textbook
+  two-phase distributed prefix sum instead: range-partition by key,
+  per-partition local cumsum (parallel windows), tiny per-partition
+  totals to the driver for the exclusive prefix, broadcast the P
+  offsets back.  P rows cross the driver — never data.
+* ``lm_score`` — CCNet-style quality scoring by corpus-trained n-gram
+  LM: train a bigram model over the corpus (two groupBys — map-side
+  partial aggs collapse repeated bigrams before the shuffle), then
+  score each document by average bigram negative-log-likelihood with
+  add-one smoothing.  The model join is a shuffle hash join keyed on
+  the bigram — both sides data-scale, co-partitioned by the join.
+* ``blocklist_filter`` — canonical-host blocklist: broadcast anti-join
+  of pages against a blocked-host list (spam/SEO/adult domain lists in
+  real crawls), after URL canonicalization so aliases of a blocked
+  host cannot slip through.
+
+Tokenization matches q_token_count's ``n_tokens`` definition
+(lowercased alnum runs) so counts agree across the pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased alnum-run tokens (empty strings filtered)."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+def ngrams_col(toks: Column, n: int) -> Column:
+    """Sliding word n-grams (stride 1, space-joined); [] when the doc
+    has fewer than n tokens.  The guard matters: sequence(1, len-n+1)
+    with len < n would produce a DESCENDING sequence (Spark infers
+    step -1), silently emitting garbage windows."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --- benchmark decontamination ------------------------------------------
+
+
+def contamination(
+    docs: DataFrame,
+    eval_ngrams: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag training docs sharing any n-gram with the eval set.
+
+    ``eval_ngrams`` is a DataFrame with one ``gram`` string column (the
+    benchmark suite's sliding n-grams).  Returns one row per doc:
+    (doc_id, n_grams, n_hits, contaminated).
+
+    Scale shape: the doc-side n-gram stream is exploded map-side and
+    joined to the md5 of the (broadcast) eval set — fixed-width keys,
+    no corpus shuffle; the per-doc rollup is a map-side-combinable
+    groupBy on doc_id.  Docs with zero matching grams are restored by
+    the left join at the end (count aggregation only sees hits).
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ngrams_col(tokens_col(F.col(text_col)), n).alias("_grams"),
+    ).select(
+        "doc_id",
+        F.size("_grams").cast("long").alias("n_grams"),
+        F.explode_outer("_grams").alias("gram"),
+    )
+    eval_hashes = eval_ngrams.select(
+        F.md5(F.encode("gram", "utf-8")).alias("_gh")
+    ).distinct()
+    hits = (
+        grams.withColumn("_gh", F.md5(F.encode("gram", "utf-8")))
+        .join(F.broadcast(eval_hashes), "_gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.max("n_grams").alias("n_grams")
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# --- concat-and-chunk sequence packing ----------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every doc its token span in the packed training stream.
+
+    Documents are laid end-to-end in ``doc_id`` order and cut into
+    ``seq_len``-token sequences (GPT-style concat-and-chunk — no
+    padding, docs may straddle sequence boundaries).  Returns
+    (doc_id, n_tokens, tok_offset, seq_first, seq_last, n_seqs) where
+    ``tok_offset`` is the exclusive prefix sum of token counts and
+    ``seq_first``/``seq_last`` the sequence ids covering the doc
+    (equal when n_tokens == 0: the doc occupies no sequence,
+    n_seqs = 0, but keeps a well-defined position).
+
+    The prefix sum is the two-phase distributed form (see module
+    docstring); the driver only ever holds one row per partition.
+    Empty partitions (possible when range boundaries collide on small
+    inputs) contribute 0 to the running prefix and are skipped
+    naturally by the groupBy.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(F.col(text_col))).cast("long")
+        .alias("n_tokens"),
+    )
+    if num_partitions is None:
+        num_partitions = toks.sparkSession.sparkContext.defaultParallelism
+    ranged = toks.repartitionByRange(num_partitions, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # parallel per-partition EXCLUSIVE cumsum: window within _pid only
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    # P partition totals -> driver -> exclusive prefix per pid.
+    # repartitionByRange guarantees pid p's keys all precede pid p+1's,
+    # so prefix-by-ascending-pid IS prefix-by-key-order.
+    totals = (
+        local.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+        .collect()
+    )
+    prefix: dict[int, int] = {}
+    running = 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        prefix[r["_pid"]] = running
+        running += int(r["_tot"])
+    if not prefix:  # empty input: keep create_map well-formed
+        prefix = {0: 0}
+    pmap = F.create_map(
+        *[F.lit(x) for kv in prefix.items() for x in kv]
+    )
+    packed = local.withColumn(
+        "tok_offset",
+        (F.col("_local_off") + pmap[F.col("_pid")]).cast("long"),
+    )
+    L = F.lit(int(seq_len))
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / L).cast("long").alias("seq_first"),
+        F.floor(
+            (F.col("tok_offset")
+             + F.greatest(F.col("n_tokens") - 1, F.lit(0))) / L
+        ).cast("long").alias("seq_last"),
+        F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+            F.floor(
+                (F.col("tok_offset") + F.col("n_tokens") - 1) / L
+            ) - F.floor(F.col("tok_offset") / L) + 1
+        ).cast("long").alias("n_seqs"),
+    )
+
+
+def oracle_pack_sql(seq_len: int, source: str = "documents") -> str:
+    """DuckDB oracle: the same packing via a plain window prefix sum
+    (fine at oracle scale; the Spark path exists precisely because
+    this shape single-reducers at crawl scale)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+           t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM {source}
+),
+off AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+           AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+  FROM toks
+)
+SELECT doc_id, n_tokens, tok_offset,
+       CAST(tok_offset // {seq_len} AS BIGINT) AS seq_first,
+       CAST((tok_offset + greatest(n_tokens - 1, 0)) // {seq_len}
+            AS BIGINT) AS seq_last,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (tok_offset + n_tokens - 1) // {seq_len}
+                 - tok_offset // {seq_len} + 1 END AS BIGINT)
+         AS n_seqs
+FROM off
+"""
+
+
+# --- corpus-trained bigram-LM quality score -----------------------------
+
+
+def lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc average bigram negative log-likelihood under a bigram
+    LM trained on the corpus itself (CCNet's quality signal, with the
+    external Wikipedia LM replaced by the corpus — self-perplexity:
+    boilerplate-ish, repetitive docs score LOW, rare/garbled docs
+    HIGH).  Add-one smoothing over the observed vocabulary:
+
+        P(w2 | w1) = (C(w1 w2) + 1) / (C(w1) + V)
+
+    Returns (doc_id, n_bigrams, lm_nll) with lm_nll rounded to 4
+    decimals (sum order across engines differs in the last ulps);
+    docs with < 2 tokens get lm_nll = 0.0.
+
+    Scale shape: bigram/unigram models are groupBy counts (map-side
+    partial agg collapses the head — "of the" arrives at the shuffle
+    once per map task, not once per occurrence); scoring joins the
+    exploded doc-bigram stream to the model on the bigram key — a
+    co-partitioned shuffle hash join, no broadcast assumption since a
+    web-scale bigram table is NOT small.  V is a 1-row agg broadcast
+    into the smoothing expression.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("_t"),
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(ngrams_col(F.col("_t"), 2)).alias("bigram"),
+    ).select(
+        "doc_id",
+        F.substring_index("bigram", " ", 1).alias("w1"),
+        F.substring_index("bigram", " ", -1).alias("w2"),
+    )
+    big_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("c12")
+    )
+    uni_counts = (
+        toks.select(F.explode("_t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("double").alias("c1"))
+    )
+    vocab = uni_counts.agg(
+        F.count("*").cast("double").alias("v")
+    )
+    scored = (
+        bigrams.join(big_counts, ["w1", "w2"])
+        .join(uni_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_nll",
+            -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg("_nll"), 4).alias("lm_nll"),
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce("lm_nll", F.lit(0.0)).alias("lm_nll"),
+        )
+    )
+
+
+def oracle_lm_sql(source: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+           t -> t <> '') AS t
+  FROM {source}
+),
+bigrams AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+       FROM bigrams GROUP BY w1, w2),
+unig AS (
+  SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM (
+    SELECT doc_id, unnest(t) AS w1 FROM toks
+  ) GROUP BY w1
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM unig),
+scored AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(-ln((c12 + 1.0) / (c1 + v.v))), 4) AS lm_nll
+  FROM bigrams b JOIN bc USING (w1, w2) JOIN unig USING (w1), v
+  GROUP BY b.doc_id
+)
+SELECT toks.doc_id,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       coalesce(lm_nll, 0.0) AS lm_nll
+FROM toks LEFT JOIN scored ON toks.doc_id = scored.doc_id
+"""
+
+
+# --- canonical-host blocklist filter ------------------------------------
+
+
+def blocklist_filter(
+    pages: DataFrame,
+    blocked_hosts: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop pages whose CANONICAL host is on the blocklist.
+
+    ``blocked_hosts`` has one ``host`` column (already-canonical
+    lowercase hostnames, no port).  Canonicalization runs first so
+    casing/www/default-port aliases of a blocked host cannot slip
+    through, and the match key strips any EXPLICIT port too —
+    ``evil.com:8080`` is still ``evil.com`` for blocking purposes
+    (ports are routing, not identity, for reputation lists).  The
+    blocklist (1e4-1e6 hosts in real crawls) broadcasts; the
+    anti-join is map-side — the corpus never shuffles.
+    """
+    from .webtext import canonicalize_urls
+
+    canon = canonicalize_urls(pages, url_col=url_col).withColumn(
+        "_hostname", F.substring_index(F.col("host"), ":", 1)
+    )
+    blocked = blocked_hosts.select(
+        F.col("host").alias("_hostname")
+    ).distinct()
+    return canon.join(
+        F.broadcast(blocked), "_hostname", "left_anti"
+    ).drop("_hostname")

@@ -1999,3 +1999,141 @@ FROM canon c JOIN documents d USING (doc_id)
 GROUP BY host
 """
 QUERIES["host_stats"] = q_host_stats
+
+
+# --- Training-data assembly stages (pipeline.training) -------------------
+#
+# Decontamination, sequence packing, corpus-LM quality, host blocklist
+# — the stages between a deduplicated crawl and a training run.  The
+# eval set / blocklist are synthesized deterministically from doc_id
+# arithmetic (both engines independently) since the oracle tables
+# carry neither; the operators themselves take them as real
+# DataFrames, which is the production interface.
+
+_CONTAM_N = 8
+_CONTAM_EVERY = 83  # every 83rd doc donates one eval 8-gram
+_CONTAM_POS = 4     # ... starting at its 4th token (1-based)
+
+
+def _eval_ngrams_df(docs: DataFrame) -> DataFrame:
+    from .pipeline.training import tokens_col
+
+    toks = tokens_col(F.col("text"))
+    return (
+        docs.filter(F.col("doc_id") % _CONTAM_EVERY == 0)
+        .select(toks.alias("_t"))
+        .filter(F.size("_t") >= _CONTAM_POS + _CONTAM_N - 1)
+        .select(
+            F.array_join(
+                F.slice("_t", _CONTAM_POS, _CONTAM_N), " "
+            ).alias("gram")
+        )
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.training import contamination
+
+    docs = load_documents(spark, sf_dir)
+    return contamination(docs, _eval_ngrams_df(docs), n=_CONTAM_N)
+
+
+_ORACLE_TOKS = """
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS t
+  FROM documents
+"""
+
+ORACLES["contamination"] = f"""
+WITH toks AS ({_ORACLE_TOKS}),
+grams AS (
+  SELECT doc_id,
+         array_to_string(t[i : i + {_CONTAM_N} - 1], ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - {_CONTAM_N} + 1))
+       AS u(i)
+  WHERE len(t) >= {_CONTAM_N}
+),
+eval_set AS (
+  SELECT DISTINCT
+         array_to_string(
+           t[{_CONTAM_POS} : {_CONTAM_POS} + {_CONTAM_N} - 1],
+           ' ') AS gram
+  FROM toks
+  WHERE doc_id % {_CONTAM_EVERY} = 0
+    AND len(t) >= {_CONTAM_POS} + {_CONTAM_N} - 1
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+  FROM grams GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM grams JOIN eval_set USING (gram) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM toks t
+LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+QUERIES["contamination"] = q_contamination
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.training import pack_sequences
+
+    return pack_sequences(load_documents(spark, sf_dir), seq_len=64)
+
+
+def _pack_oracle() -> str:
+    from .pipeline.training import oracle_pack_sql
+
+    return oracle_pack_sql(64)
+
+
+ORACLES["pack_sequences"] = _pack_oracle()
+QUERIES["pack_sequences"] = q_pack_sequences
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.training import lm_score
+
+    return lm_score(load_documents(spark, sf_dir))
+
+
+def _lm_oracle() -> str:
+    from .pipeline.training import oracle_lm_sql
+
+    return oracle_lm_sql()
+
+
+ORACLES["lm_score"] = _lm_oracle()
+QUERIES["lm_score"] = q_lm_score
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-host blocklist: every 5th synthetic site is blocked
+    (site0/site5/.../site35.example.com); survivors keep their page
+    row.  Exercises the real broadcast anti-join interface — the
+    oracle reproduces the SET via the url-synthesis arithmetic."""
+    from .pipeline.training import blocklist_filter
+
+    pages = load_documents(spark, sf_dir).select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    blocked = pages.sparkSession.createDataFrame(
+        [(f"site{k}.example.com",) for k in range(0, 37, 5)],
+        "host string",
+    )
+    return blocklist_filter(pages, blocked).select("doc_id", "host")
+
+
+ORACLES["blocklist_filter"] = f"""
+WITH canon AS ({{canon}})
+SELECT doc_id, host FROM canon
+WHERE (doc_id % 37) % 5 <> 0
+""".format(canon=_url_canonicalize_oracle())
+QUERIES["blocklist_filter"] = q_blocklist_filter
