@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "lm_score",
     "blocklist_filter",
+    "gopher_filter",
 ]
 
 

@@ -110,3 +110,22 @@ def test_blocklist_strips_port_and_aliases(spark):
     blocked = spark.createDataFrame([Row(host="evil.com")])
     kept = blocklist_filter(pages, blocked).select("doc_id").collect()
     assert [r["doc_id"] for r in kept] == [2]
+
+
+def test_gopher_filter_rules(spark):
+    from toshi_spark.pipeline.textstats import gopher_filter
+
+    good = ("the data of a table is that it and for queries " * 3)
+    docs = _docs(spark, [
+        good,                               # passes everything
+        "word " * 20,                       # mode_frac = 1 -> r_mode fails
+        "1 2 3 4 5 6 7 8 9 10 11 12",       # all digits -> r_digit fails
+        "a b",                              # too short -> r_len fails
+    ])
+    out = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    assert out[0]["keep"]
+    assert not out[1]["r_mode"] and not out[1]["keep"]
+    assert not out[2]["r_digit"] and not out[2]["keep"]
+    assert not out[3]["r_len"] and not out[3]["keep"]
+    # per-rule attribution: doc 1 fails ONLY the rules it should
+    assert out[1]["r_len"] and out[1]["r_digit"]

@@ -280,3 +280,102 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk"),
     )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    min_mean_tok_len: float = 2.0,
+    max_mean_tok_len: float = 12.0,
+    min_distinct_stopwords: int = 2,
+    max_digit_tok_frac: float = 0.2,
+    max_mode_tok_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style hard quality GATE (Rae et al. 2021 §A1.1): the
+    keep/drop decision pipelines actually apply, with per-rule
+    attribution so drops are auditable.  ``quality_score`` ranks;
+    this FILTERS.  Rules (thresholds scaled to the synthetic corpus,
+    all dials exposed):
+
+      r_len    token count within [min_tokens, max_tokens]
+      r_mean   mean token length within [min, max]
+      r_stop   ≥ min_distinct_stopwords DISTINCT stopwords present
+               (the "real prose" test — spam keyword lists fail it)
+      r_digit  digit-only token fraction ≤ max_digit_tok_frac
+      r_mode   most-frequent-token share ≤ max_mode_tok_frac
+               (degenerate repetition; the mode count is the longest
+               equal-run in the sorted token array — one fold)
+
+    Every signal is per-doc array algebra: the operator is map-only,
+    zero exchanges, and composes with the scan at crawl scale.
+    Returns (doc_id, n_tokens, mean_tok_len, n_stop_distinct,
+    digit_tok_frac, mode_tok_frac, r_len..r_mode, keep).
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    alnum_chars = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    )
+    mean_len = F.when(n > 0, alnum_chars / n).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    digit_frac = F.when(
+        n > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+        .cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+    def run_step(acc, x):
+        run_new = F.when(
+            acc["prev"].isNotNull() & (acc["prev"] == x),
+            acc["run"] + F.lit(1),
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            F.greatest(acc["best"], run_new).alias("best"),
+        )
+
+    mode_cnt = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        run_step,
+        lambda acc: acc["best"],
+    )
+    mode_frac = F.when(
+        n > 0, mode_cnt.cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_tok_len"),
+        n_stop.cast("long").alias("n_stop_distinct"),
+        F.round(digit_frac, 4).alias("digit_tok_frac"),
+        F.round(mode_frac, 4).alias("mode_tok_frac"),
+    )
+    r_len = (F.col("n_tokens") >= min_tokens) & (
+        F.col("n_tokens") <= max_tokens
+    )
+    r_mean = (F.col("mean_tok_len") >= min_mean_tok_len) & (
+        F.col("mean_tok_len") <= max_mean_tok_len
+    )
+    r_stop = F.col("n_stop_distinct") >= min_distinct_stopwords
+    r_digit = F.col("digit_tok_frac") <= max_digit_tok_frac
+    r_mode = F.col("mode_tok_frac") <= max_mode_tok_frac
+    return out.select(
+        "*",
+        r_len.alias("r_len"),
+        r_mean.alias("r_mean"),
+        r_stop.alias("r_stop"),
+        r_digit.alias("r_digit"),
+        r_mode.alias("r_mode"),
+        (r_len & r_mean & r_stop & r_digit & r_mode).alias("keep"),
+    )

@@ -86,25 +86,27 @@ def contamination(
     groupBy on doc_id.  Docs with zero matching grams are restored by
     the left join at the end (count aggregation only sees hits).
     """
-    grams = docs.select(
+    with_grams = docs.select(
         F.col(id_col).alias("doc_id"),
         ngrams_col(tokens_col(F.col(text_col)), n).alias("_grams"),
-    ).select(
-        "doc_id",
-        F.size("_grams").cast("long").alias("n_grams"),
-        F.explode_outer("_grams").alias("gram"),
     )
     eval_hashes = eval_ngrams.select(
         F.md5(F.encode("gram", "utf-8")).alias("_gh")
     ).distinct()
+    # only HIT rows reach the groupBy (the broadcast semi-join runs
+    # map-side over the exploded stream) — the per-doc n_grams count
+    # is a map-only projection, never shuffled
     hits = (
-        grams.withColumn("_gh", F.md5(F.encode("gram", "utf-8")))
+        with_grams.select(
+            "doc_id", F.explode("_grams").alias("gram")
+        )
+        .withColumn("_gh", F.md5(F.encode("gram", "utf-8")))
         .join(F.broadcast(eval_hashes), "_gh")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
-    per_doc = grams.groupBy("doc_id").agg(
-        F.max("n_grams").alias("n_grams")
+    per_doc = with_grams.select(
+        "doc_id", F.size("_grams").cast("long").alias("n_grams")
     )
     return (
         per_doc.join(hits, "doc_id", "left")

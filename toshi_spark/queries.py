@@ -2137,3 +2137,57 @@ SELECT doc_id, host FROM canon
 WHERE (doc_id % 37) % 5 <> 0
 """.format(canon=_url_canonicalize_oracle())
 QUERIES["blocklist_filter"] = q_blocklist_filter
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.textstats import gopher_filter
+
+    return gopher_filter(load_documents(spark, sf_dir))
+
+
+# rule comparisons happen on the ROUNDED features in both engines, so
+# threshold checks can never disagree in the last ulp
+ORACLES["gopher_filter"] = f"""
+WITH toks AS ({_ORACLE_TOKS}),
+modes AS (
+  SELECT doc_id, max(c) AS mode_cnt FROM (
+    SELECT doc_id, tok, count(*) AS c FROM (
+      SELECT doc_id, unnest(t) AS tok FROM toks
+    ) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+feats AS (
+  SELECT t.doc_id,
+         CAST(len(t.t) AS BIGINT) AS n_tokens,
+         round(CASE WHEN len(t.t) > 0 THEN
+             CAST(len(regexp_replace(lower(d.text), '[^a-z0-9]', '',
+                                     'g')) AS DOUBLE) / len(t.t)
+           ELSE 0.0 END, 4) AS mean_tok_len,
+         CAST(len(list_intersect(list_distinct(t.t),
+           ['the','a','of','and','in','to','is','it','that','for']))
+           AS BIGINT) AS n_stop_distinct,
+         round(CASE WHEN len(t.t) > 0 THEN
+             CAST(len(list_filter(t.t,
+               x -> regexp_full_match(x, '[0-9]+'))) AS DOUBLE)
+             / len(t.t)
+           ELSE 0.0 END, 4) AS digit_tok_frac,
+         round(CASE WHEN len(t.t) > 0 THEN
+             CAST(coalesce(m.mode_cnt, 0) AS DOUBLE) / len(t.t)
+           ELSE 0.0 END, 4) AS mode_tok_frac
+  FROM toks t
+  JOIN documents d ON t.doc_id = d.doc_id
+  LEFT JOIN modes m ON t.doc_id = m.doc_id
+)
+SELECT *,
+       (r_len AND r_mean AND r_stop AND r_digit AND r_mode) AS keep
+FROM (
+  SELECT *,
+         n_tokens BETWEEN 10 AND 5000 AS r_len,
+         mean_tok_len BETWEEN 2.0 AND 12.0 AS r_mean,
+         n_stop_distinct >= 2 AS r_stop,
+         digit_tok_frac <= 0.2 AS r_digit,
+         mode_tok_frac <= 0.2 AS r_mode
+  FROM feats
+)
+"""
+QUERIES["gopher_filter"] = q_gopher_filter
