@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "lm_score",
     "blocklist_filter",
     "gopher_filter",
+    "substring_dedup",
 ]
 
 

@@ -565,3 +565,148 @@ def paragraph_dedup(
             " ",
         ).alias("kept_text"),
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact substring-level dedup (the ExactSubstr stage of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better": any >= k-token span that appears verbatim elsewhere in
+    the corpus is removed, keeping the globally first occurrence).
+
+    The paper builds one suffix array over the concatenated corpus —
+    a global sort, inherently sequential to query.  The distributed
+    equivalent fingerprints every k-token window and works on the
+    duplicate stream only:
+
+      1. windows: every k-token window per doc as (doc_id, pos,
+         md5(window)) — map-only flatMap fused into the scan.
+      2. lexicon: groupBy(hash) -> (occurrences, first occurrence by
+         min(struct(doc_id, pos))), filtered to occurrences >= 2.
+         This is the ONE corpus-scale shuffle; map-side partial agg
+         collapses boilerplate-heavy corpora before the exchange, and
+         the paper's suffix array needs a strictly heavier global
+         sort of the same token stream.
+      3. duplicate windows: hash-join windows against the lexicon
+         (count >= 2) and drop the canonical first occurrence.  The
+         join key is the 16-byte hash, so the lexicon side is
+         fixed-width; AQE broadcasts it when small.
+      4. spans: merge each doc's duplicate windows [pos, pos+k-1]
+         into maximal contiguous duplicated regions (overlapping OR
+         adjacent windows fuse).  Runs on the duplicate stream only
+         — two windows + a groupBy over rows that are typically a
+         tiny fraction of the corpus, partitioned by doc_id.
+      5. clean: left-join spans back to docs (spans table << corpus)
+         and drop covered token positions with a map-only
+         higher-order filter; no per-token shuffle.
+
+    Window width ``k`` is the paper's 50-token dial (default 8 here:
+    the synthetic docs average ~50 tokens).  Docs shorter than k
+    tokens produce no windows and pass through unchanged.
+
+    Returns one row per input doc:
+        (doc_id, n_tokens, n_spans, dup_tokens, clean_text)
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_t"),
+    )
+    # guard: F.sequence(0, n) infers step -1 when n < 0, so gate the
+    # window starts on size >= k instead of relying on an empty range
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("_t") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - k),
+                    lambda i: F.md5(
+                        F.encode(
+                            F.array_join(F.slice("_t", i + 1, k), " "),
+                            "utf-8",
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "_h"),
+    )
+    # first-occurrence key encoded as ONE long (doc_id * 2^30 + pos)
+    # instead of min(struct(...)): structs are not hash-aggregable,
+    # and a SortAggregate here would per-partition-sort the whole
+    # corpus window stream; the long keeps the aggregation a
+    # HashAggregate with map-side partial agg.  2^30 token positions
+    # per doc is the same per-doc bound the block codec assumes.
+    occ_key = (F.col("doc_id") * F.lit(1 << 30) + F.col("pos"))
+    lexicon = (
+        wins.groupBy("_h")
+        .agg(
+            F.count("*").alias("_occ"),
+            F.min(occ_key).alias("_first_key"),
+        )
+        .where(F.col("_occ") >= 2)
+    )
+    dup = wins.join(lexicon, "_h").where(occ_key != F.col("_first_key"))
+    # maximal-span merge: classic islands — a window starts a new
+    # island iff its start exceeds (running max end of earlier
+    # windows) + 1, i.e. it neither overlaps nor touches the region
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup.select("doc_id", "pos", (F.col("pos") + (k - 1)).alias("_e"))
+        .withColumn(
+            "_prev_max",
+            F.max("_e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_new",
+            (F.col("_prev_max").isNull()
+             | (F.col("pos") > F.col("_prev_max") + 1)).cast("long"),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_doc))
+    )
+    spans = (
+        islands.groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("s"), F.max("_e").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("s", "e")).alias("_spans"),
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        )
+    )
+    cleaned = (
+        toks.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_t").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long")
+            .alias("dup_tokens"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.transform(
+                            "_t",
+                            lambda x, i: F.struct(
+                                x.alias("tok"), i.alias("i")
+                            ),
+                        ),
+                        lambda s: ~F.coalesce(
+                            F.exists(
+                                "_spans",
+                                lambda sp: (s["i"] >= sp["s"])
+                                & (s["i"] <= sp["e"]),
+                            ),
+                            F.lit(False),
+                        ),
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return cleaned

@@ -2191,3 +2191,93 @@ FROM (
 )
 """
 QUERIES["gopher_filter"] = q_gopher_filter
+
+
+# --- Exact substring dedup (Lee et al. 2021 ExactSubstr stage) -----------
+#
+# Any k-token span appearing verbatim elsewhere in the corpus is
+# removed, keeping the globally first occurrence by (doc_id, pos).
+# The oracle reproduces the window fingerprints, the min-(doc,pos)
+# canonical choice, the maximal-span interval merge (overlapping or
+# ADJACENT windows fuse: new island iff pos > running_max_end + 1) and
+# the order-preserving token reassembly.  k=8 (paper dial is 50; the
+# synthetic docs average ~50 tokens) — at sf0.01 this yields ~1000
+# duplicated hashes over ~2100 windows, a real split.
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.dedup import substring_dedup
+
+    return substring_dedup(load_documents(spark, sf_dir), k=8)
+
+
+ORACLES["substring_dedup"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(t[i : i + 7], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+),
+lexicon AS (
+  SELECT h, min(doc_id * 1000000000 + pos) AS first_key
+  FROM wins GROUP BY h HAVING count(*) >= 2
+),
+dup AS (
+  SELECT w.doc_id, w.pos, w.pos + 7 AS e
+  FROM wins w JOIN lexicon l USING (h)
+  WHERE w.doc_id * 1000000000 + w.pos <> l.first_key
+),
+islands AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN prev_max IS NULL OR pos > prev_max + 1
+              THEN 1 ELSE 0 END AS new_isl
+  FROM (
+    SELECT doc_id, pos, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+    FROM dup
+  )
+),
+numbered AS (
+  SELECT doc_id, pos, e,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM islands
+),
+spans AS (
+  SELECT doc_id, isl, min(pos) AS s, max(e) AS e
+  FROM numbered GROUP BY doc_id, isl
+),
+doc_spans AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+toks_pos AS (
+  SELECT doc_id, i - 1 AS i, t[i] AS tok
+  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+),
+clean AS (
+  SELECT tp.doc_id,
+         coalesce(string_agg(tp.tok, ' ' ORDER BY tp.i)
+                  FILTER (WHERE NOT EXISTS (
+                    SELECT 1 FROM spans s
+                    WHERE s.doc_id = tp.doc_id
+                      AND tp.i BETWEEN s.s AND s.e)), '') AS clean_text
+  FROM toks_pos tp GROUP BY tp.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       coalesce(d.n_spans, 0) AS n_spans,
+       coalesce(d.dup_tokens, 0) AS dup_tokens,
+       c.clean_text
+FROM toks t
+LEFT JOIN doc_spans d ON t.doc_id = d.doc_id
+JOIN clean c ON t.doc_id = c.doc_id
+"""
+QUERIES["substring_dedup"] = q_substring_dedup
