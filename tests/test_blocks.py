@@ -179,7 +179,10 @@ def test_blockmax_prunes_on_sitewise_skewed_webtext(spark):
              for r in ix.fieldstats.collect()}
     blocks = encode_blocks_df(salted, avgdl).repartition(4).persist()
     try:
-        for terms, min_pruned in [(["w0"], 0.5), (["w0", "w1"], 0.2)]:
+        # mid+mid floor pins the round-5 conjunction-pair seeding:
+        # pre-pair θ discovery measured 0% pruned on this shape
+        for terms, min_pruned in [(["w0"], 0.5), (["w0", "w1"], 0.2),
+                                  (["w97", "w99"], 0.2)]:
             st = blockmax_prune_stats(
                 blocks, ix.termstats, ix.fieldstats, ix.n_docs,
                 "text", terms, 20,
