@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "blocklist_filter",
     "gopher_filter",
     "substring_dedup",
+    "unigram_entropy",
+    "host_cap",
+    "mix_weights",
 ]
 
 

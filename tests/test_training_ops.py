@@ -129,3 +129,62 @@ def test_gopher_filter_rules(spark):
     assert not out[3]["r_len"] and not out[3]["keep"]
     # per-rule attribution: doc 1 fails ONLY the rules it should
     assert out[1]["r_len"] and out[1]["r_digit"]
+
+
+def test_unigram_entropy_known_values(spark):
+    from toshi_spark.pipeline.textstats import unigram_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a b b"),       # two types, uniform -> H = 1.0
+            (1, "a b c d"),       # four types, uniform -> H = 2.0
+            (2, "a a a"),         # degenerate -> H = 0.0
+            (3, ""),              # empty -> zeros
+            (4, "a a a b"),       # H = 2 - 0.75*log2(3) = 0.8113
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_entropy(docs).collect()}
+    assert out[0]["entropy"] == 1.0 and out[0]["n_types"] == 2
+    assert out[1]["entropy"] == 2.0 and out[1]["ttr"] == 1.0
+    assert out[2]["entropy"] == 0.0 and out[2]["n_types"] == 1
+    assert out[3]["n_tokens"] == 0 and out[3]["entropy"] == 0.0
+    assert out[4]["entropy"] == 0.8113 and out[4]["ttr"] == 0.5
+
+
+def test_host_cap_quota_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from toshi_spark.pipeline.webtext import host_cap
+
+    pages = spark.createDataFrame(
+        [(i, "big.com" if i < 15 else "small.com") for i in range(18)],
+        "doc_id long, host string",
+    )
+    out = host_cap(pages, cap=10)
+    counts = {r["host"]: r["c"] for r in
+              out.groupBy("host").agg(F.count("*").alias("c")).collect()}
+    assert counts == {"big.com": 10, "small.com": 3}
+    # deterministic: same kept set on a re-run
+    kept1 = sorted(r["doc_id"] for r in out.collect())
+    kept2 = sorted(r["doc_id"] for r in host_cap(pages, cap=10).collect())
+    assert kept1 == kept2
+    assert max(r["host_rank"] for r in out.collect()) <= 10
+
+
+def test_mix_weights_temperature_math(spark):
+    from toshi_spark.pipeline.training import mix_weights
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 80 else "fr") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = {r["lang"]: r for r in
+           mix_weights(docs, alpha=0.5).collect()}
+    # p = .8/.2; q = sqrt(p)/Z with Z = sqrt(.8)+sqrt(.2)
+    import math
+    z = math.sqrt(0.8) + math.sqrt(0.2)
+    assert out["en"]["p"] == 0.8 and out["fr"]["p"] == 0.2
+    assert out["en"]["q"] == round(math.sqrt(0.8) / z, 6)
+    assert out["fr"]["q"] == round(math.sqrt(0.2) / z, 6)
+    # tail language is UP-weighted, head down-weighted
+    assert out["fr"]["sample_weight"] > 1.0 > out["en"]["sample_weight"]

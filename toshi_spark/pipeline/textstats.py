@@ -379,3 +379,83 @@ def gopher_filter(
         r_mode.alias("r_mode"),
         (r_len & r_mean & r_stop & r_digit & r_mode).alias("keep"),
     )
+
+
+def unigram_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-distribution signals: Shannon entropy of the per-doc
+    token distribution plus type-token ratio (the lexical-diversity
+    pair CCNet-style quality pipelines cut on — machine-generated
+    keyword stuffing has low entropy, boilerplate has low TTR).
+
+    H = log2(n) - (Σ_t c_t·log2(c_t)) / n over token counts c_t —
+    computed as ONE fold over the sorted token array (the same
+    sorted-run trick as ``gopher_filter``'s mode count: a run's
+    length IS its token's count), so the operator is map-only, zero
+    exchanges, and composes with the scan at crawl scale.  n_types
+    rides in the same fold (number of runs).  Values round to 4 dp so
+    engine/oracle parity cannot flip in the last ulp.
+
+    Returns (doc_id, n_tokens, n_types, ttr, entropy).
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+
+    def run_step(acc, x):
+        is_cont = acc["prev"].isNotNull() & (acc["prev"] == x)
+        run_new = F.when(is_cont, acc["run"] + F.lit(1)).otherwise(
+            F.lit(1)
+        )
+        # close the previous run when a new one starts
+        closed = F.when(
+            is_cont | acc["prev"].isNull(), acc["sum"]
+        ).otherwise(
+            acc["sum"]
+            + acc["run"].cast("double") * F.log2(acc["run"].cast("double"))
+        )
+        types_new = F.when(is_cont, acc["types"]).otherwise(
+            acc["types"] + F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            closed.alias("sum"),
+            types_new.alias("types"),
+        )
+
+    folded = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0.0).alias("sum"),
+            F.lit(0).alias("types"),
+        ),
+        run_step,
+        lambda acc: F.struct(
+            F.when(
+                acc["prev"].isNotNull(),
+                acc["sum"]
+                + acc["run"].cast("double")
+                * F.log2(acc["run"].cast("double")),
+            ).otherwise(F.lit(0.0)).alias("clogc"),
+            acc["types"].alias("types"),
+        ),
+    )
+    ent = F.when(
+        n > 0,
+        F.log2(n.cast("double")) - folded["clogc"] / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+    ttr = F.when(
+        n > 0, folded["types"].cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        folded["types"].cast("long").alias("n_types"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(ent, 4).alias("entropy"),
+    )

@@ -377,3 +377,53 @@ def blocklist_filter(
     return canon.join(
         F.broadcast(blocked), "_hostname", "left_anti"
     ).drop("_hostname")
+
+
+def mix_weights(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled training-mix weights per corpus slice (the
+    exponent-smoothing scheme multilingual LMs sample with, e.g.
+    XLM-R's alpha=0.3: q_g ∝ p_g^alpha re-balances head languages
+    toward the tail without flattening the mix entirely).
+
+    For each group g with share p_g = n_g / N:
+
+        q_g = p_g^alpha / Σ_h p_h^alpha       (target mix)
+        sample_weight_g = q_g / p_g           (per-doc up/down factor)
+
+    Scale shape: ONE map-side-combinable groupBy(group) produces a
+    groups-sized table (languages/sources — tiny), and the
+    normalizing constant folds in via a single-row cross join the
+    optimizer broadcasts; nothing doc-scale shuffles twice.  Values
+    round to 6 dp so engine/oracle parity cannot flip in the last
+    ulp.
+
+    Returns (group_col, n_docs, p, q, sample_weight) — apply with a
+    broadcast join + Bernoulli/repeat sampling keyed on
+    sample_weight.
+    """
+    counts = docs.groupBy(F.col(group_col)).agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("_n"),
+    )
+    scored = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "p", F.col("n_docs").cast("double") / F.col("_n")
+    ).withColumn("_pa", F.pow(F.col("p"), F.lit(float(alpha))))
+    z = scored.agg(F.sum("_pa").alias("_z"))
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("p", 6).alias("p"),
+            F.round(F.col("_pa") / F.col("_z"), 6).alias("q"),
+            F.round(
+                (F.col("_pa") / F.col("_z")) / F.col("p"), 6
+            ).alias("sample_weight"),
+        )
+    )

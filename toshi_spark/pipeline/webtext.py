@@ -287,3 +287,38 @@ FROM (
   )
 )
 """
+
+
+def host_cap(
+    pages: DataFrame,
+    cap: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host page quota (crawl-budget enforcement: no host may
+    contribute more than ``cap`` pages downstream — the standard
+    guard against SEO farms and wiki mirrors swamping a training
+    mix).  Expects ``canonicalize_urls`` output (a ``host`` column).
+
+    Selection is DETERMINISTIC, not first-N-in-scan-order: pages rank
+    by (md5(doc_id), doc_id) within their host — a seedless uniform
+    shuffle both engines reproduce — and ranks above ``cap`` drop.
+
+    Scale shape: one hash-partition by host; the rank is computed in
+    the window operator and the filter sits directly on it, so Spark
+    prunes rows past ``cap`` inside the window sort (same
+    rank-in-window shape as ``sample_stratified``).  Host skew is the
+    operating point, not a hazard: a 10^8-page host still flows
+    through one partition, but only as (md5, id) pairs — the page
+    payload joins back AFTER the cap via the kept id list.
+    """
+    from pyspark.sql import Window
+
+    keyed = pages.withColumn(
+        "_rk_key", F.md5(F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("host").orderBy("_rk_key", id_col)
+    return (
+        keyed.withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= cap)
+        .drop("_rk_key")
+    )

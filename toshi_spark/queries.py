@@ -2281,3 +2281,113 @@ LEFT JOIN doc_spans d ON t.doc_id = d.doc_id
 JOIN clean c ON t.doc_id = c.doc_id
 """
 QUERIES["substring_dedup"] = q_substring_dedup
+
+
+# --- Unigram entropy / TTR quality signals -------------------------------
+
+
+def q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.textstats import unigram_entropy
+
+    return unigram_entropy(load_documents(spark, sf_dir))
+
+
+ORACLES["unigram_entropy"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '')
+           AS t
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         sum(c * log2(c)) AS clogc
+  FROM counts GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_types, 0) AS n_types,
+       round(CASE WHEN a.n_tokens > 0
+             THEN CAST(a.n_types AS DOUBLE) / a.n_tokens
+             ELSE 0.0 END, 4) AS ttr,
+       round(CASE WHEN a.n_tokens > 0
+             THEN log2(CAST(a.n_tokens AS DOUBLE))
+                  - a.clogc / a.n_tokens
+             ELSE 0.0 END, 4) AS entropy
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+QUERIES["unigram_entropy"] = q_unigram_entropy
+
+
+# --- Per-host page quota (crawl-budget cap) ------------------------------
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.webtext import canonicalize_urls, host_cap
+
+    pages = load_documents(spark, sf_dir).select(
+        "doc_id", _synth_url_col().alias("url")
+    )
+    return host_cap(canonicalize_urls(pages), cap=10).select(
+        "doc_id", "host", "host_rank"
+    )
+
+
+ORACLES["host_cap"] = f"""
+WITH canon AS ({{canon}}),
+ranked AS (
+  SELECT doc_id, host,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS host_rank
+  FROM canon
+)
+SELECT doc_id, host, CAST(host_rank AS BIGINT) AS host_rank
+FROM ranked WHERE host_rank <= 10
+"""
+
+
+def _host_cap_oracle() -> str:
+    return ORACLES["host_cap"].format(canon=_url_canonicalize_oracle())
+
+
+ORACLES["host_cap"] = _host_cap_oracle()
+QUERIES["host_cap"] = q_host_cap
+
+
+# --- Temperature-scaled training-mix weights -----------------------------
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.training import mix_weights
+
+    return mix_weights(load_documents(spark, sf_dir), group_col="lang",
+                       alpha=0.3)
+
+
+ORACLES["mix_weights"] = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY lang
+),
+scored AS (
+  SELECT lang, n_docs,
+         CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM counts)
+           AS p
+  FROM counts
+),
+z AS (SELECT sum(pow(p, 0.3)) AS z FROM scored)
+SELECT lang, n_docs, round(p, 6) AS p,
+       round(pow(p, 0.3) / z.z, 6) AS q,
+       round((pow(p, 0.3) / z.z) / p, 6) AS sample_weight
+FROM scored, z
+"""
+QUERIES["mix_weights"] = q_mix_weights
