@@ -52,9 +52,24 @@ def tokens_col(text: Column) -> Column:
 
 def ngrams_col(toks: Column, n: int) -> Column:
     """Sliding word n-grams (stride 1, space-joined); [] when the doc
-    has fewer than n tokens.  The guard matters: sequence(1, len-n+1)
-    with len < n would produce a DESCENDING sequence (Spark infers
-    step -1), silently emitting garbage windows."""
+    has fewer than n tokens.
+
+    ``toks`` MUST be a bound attribute sitting behind a Generate
+    barrier (use :func:`tokens_barrier`), never an inline expression:
+    higher-order lambdas evaluate interpreted with no CSE across the
+    lambda boundary, and CollapseProject happily substitutes a named
+    projection into the lambda body when the plan has more than one
+    consumer — so an inlined tokenizer split re-executes PER WINDOW,
+    O(len²) per doc.  Full-query A/B at sf0.1 (contamination, n=8,
+    236k grams, warm): tokenizer nested directly 11.0 s; named
+    projection with no barrier 8.8 s (CollapseProject still inlines);
+    an n-1 zip_with chain over shifted slices 5.2 s (inlining-proof
+    but n-1 full array copies); transform behind the Generate barrier
+    2.1 s — the design used here.
+
+    The when-guard matters: sequence(1, len-n+1) with len < n would
+    produce a DESCENDING sequence (Spark infers step -1), silently
+    emitting garbage windows."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -62,6 +77,25 @@ def ngrams_col(toks: Column, n: int) -> Column:
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def tokens_barrier(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, _t) with the token array materialized behind a
+    Generate node.
+
+    ``explode(array(x))`` emits exactly one row per input row (even
+    for null/empty ``x`` — the outer array always has one element),
+    and Generate is a barrier CollapseProject cannot merge through:
+    every downstream higher-order lambda sees ``_t`` as a bound
+    attribute, so the tokenizer split evaluates once per ROW no
+    matter how many consumers the plan has.  See :func:`ngrams_col`
+    for the measured cost of losing that guarantee."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(F.col(text_col)).alias("_t0"),
+    ).select("doc_id", F.explode(F.array("_t0")).alias("_t"))
 
 
 # --- benchmark decontamination ------------------------------------------
@@ -86,9 +120,9 @@ def contamination(
     groupBy on doc_id.  Docs with zero matching grams are restored by
     the left join at the end (count aggregation only sees hits).
     """
-    with_grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        ngrams_col(tokens_col(F.col(text_col)), n).alias("_grams"),
+    with_grams = tokens_barrier(docs, id_col, text_col).select(
+        "doc_id",
+        ngrams_col(F.col("_t"), n).alias("_grams"),
     )
     eval_hashes = eval_ngrams.select(
         F.md5(F.encode("gram", "utf-8")).alias("_gh")
@@ -263,10 +297,7 @@ def lm_score(
     web-scale bigram table is NOT small.  V is a 1-row agg broadcast
     into the smoothing expression.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokens_col(F.col(text_col)).alias("_t"),
-    )
+    toks = tokens_barrier(docs, id_col, text_col)
     bigrams = toks.select(
         "doc_id",
         F.explode(ngrams_col(F.col("_t"), 2)).alias("bigram"),
