@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "unigram_entropy",
     "host_cap",
     "mix_weights",
+    "dsir_weights",
+    "quality_calibrate",
 ]
 
 

@@ -188,3 +188,109 @@ def test_mix_weights_temperature_math(spark):
     assert out["fr"]["q"] == round(math.sqrt(0.2) / z, 6)
     # tail language is UP-weighted, head down-weighted
     assert out["fr"]["sample_weight"] > 1.0 > out["en"]["sample_weight"]
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from toshi_spark.pipeline.training import dsir_weights
+
+    # target talks about cats; raw corpus has cat-docs and dog-docs
+    docs = _docs(spark, [
+        "the cat sat on the mat",        # target-like
+        "the dog ran in the park",       # off-target
+        "a cat sat here",                # every bigram in the target
+        "x",                             # <2 tokens: no features
+    ])
+    target = _docs(spark, [
+        "the cat sat on the mat", "a cat sat here",
+    ])
+    out = {r["doc_id"]: r for r in
+           dsir_weights(docs, target, n_buckets=256).collect()}
+    # cat-docs outscore the dog-doc; featureless doc is exactly 0
+    assert out[0]["log_weight"] > out[1]["log_weight"]
+    assert out[2]["log_weight"] > out[1]["log_weight"]
+    assert out[3]["n_feats"] == 0 and out[3]["log_weight"] == 0.0
+    assert out[0]["n_feats"] == 5  # 6 tokens -> 5 bigrams
+
+
+def test_dsir_weights_hand_computed_single_bucket(spark):
+    """One shared bigram: weight = c * [ln p_t - ln p_r] exactly."""
+    import math
+
+    from toshi_spark.pipeline.training import dsir_weights
+
+    docs = _docs(spark, ["a b", "c d"])
+    target = _docs(spark, ["a b"])
+    B = 4096
+    out = {r["doc_id"]: r for r in
+           dsir_weights(docs, target, n_buckets=B).collect()}
+    # raw: 2 bigrams total, each bucket count 1; target: 1 bigram
+    w_ab = math.log((1 + 1) / (1 + B)) - math.log((1 + 1) / (2 + B))
+    w_cd = math.log((0 + 1) / (1 + B)) - math.log((1 + 1) / (2 + B))
+    assert out[0]["log_weight"] == round(w_ab, 4)
+    assert out[1]["log_weight"] == round(w_cd, 4)
+
+
+def test_dsir_resample_deterministic_topk(spark):
+    from toshi_spark.pipeline.training import dsir_resample, dsir_weights
+
+    docs = _docs(spark, [f"tok{i} tok{i+1} tok{i+2}" for i in range(40)])
+    target = _docs(spark, ["tok0 tok1 tok2"])
+    w = dsir_weights(docs, target)
+    s1 = [r["doc_id"] for r in dsir_resample(w, k=5, seed=7).collect()]
+    s2 = [r["doc_id"] for r in dsir_resample(w, k=5, seed=7).collect()]
+    assert s1 == s2 and len(s1) == 5
+    # a different seed draws different Gumbel noise
+    s3 = [r["doc_id"] for r in dsir_resample(w, k=5, seed=8).collect()]
+    assert s1 != s3
+    # keys come back sorted descending
+    keys = [r["gumbel_key"] for r in dsir_resample(w, k=5, seed=7).collect()]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_score_thresholds_and_apply(spark):
+    from toshi_spark.pipeline.training import (
+        apply_thresholds,
+        score_thresholds,
+    )
+
+    # lang A scores 1..10, lang B scores 101..110: per-group cutoffs
+    rows = [(i, "A", float(i)) for i in range(1, 11)] + \
+           [(i + 10, "B", float(100 + i)) for i in range(1, 11)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, quality double")
+    th = {r["lang"]: r for r in
+          score_thresholds(scored, keep_rate=0.7, group_col="lang",
+                           score_col="quality").collect()}
+    # (1-0.7)-quantile of 1..10 with linear interpolation: 3.7
+    assert th["A"]["threshold"] == 3.7
+    assert th["B"]["threshold"] == 103.7
+    assert th["A"]["n_docs"] == 10
+    kept = apply_thresholds(
+        scored,
+        score_thresholds(scored, keep_rate=0.7, group_col="lang",
+                         score_col="quality"),
+        score_col="quality", group_col="lang")
+    per = {r["lang"]: r["c"] for r in
+           kept.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    # scores >= 3.7 within 1..10 -> 4..10 = 7 docs (exactly 70%)
+    assert per == {"A": 7, "B": 7}
+
+
+def test_score_thresholds_lower_keep_and_approx(spark):
+    from toshi_spark.pipeline.training import score_thresholds
+
+    rows = [(i, "A", float(i)) for i in range(1, 11)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, quality double")
+    lo = score_thresholds(scored, keep_rate=0.3, group_col="lang",
+                          score_col="quality", keep="lower").collect()[0]
+    # 0.3-quantile of 1..10: 3.7 (keep lowest 30%: scores <= 3.7)
+    assert lo["threshold"] == 3.7
+    ap = score_thresholds(scored, keep_rate=0.3, group_col="lang",
+                          score_col="quality", keep="lower",
+                          exact=False).collect()[0]
+    # sketch returns an observed value near the exact quantile
+    assert 3.0 <= ap["threshold"] <= 4.0
+    import pytest
+    with pytest.raises(ValueError):
+        score_thresholds(scored, keep_rate=0.5, keep="sideways")

@@ -40,13 +40,16 @@ def lang_id(docs: DataFrame, id_col: str = "doc_id",
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  keep_cols: tuple = ()) -> DataFrame:
     """Per-doc quality features + a composite score.
 
     Features: token count, mean token length, stopword ratio,
     non-alnum (punct/space) character ratio, digit ratio.  The
     composite mirrors common webtext quality filters (length band +
-    stopword presence − symbol noise).
+    stopword presence − symbol noise).  ``keep_cols`` pass through
+    untouched (e.g. ``lang`` for per-language threshold calibration)
+    so downstream grouping never needs a corpus-scale re-join.
     """
     toks = tokens_col(text_col)
     n_tokens = F.size(toks)
@@ -77,6 +80,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         n_tokens.cast("long").alias("n_tokens"),
         F.round(mean_tok_len, 4).alias("mean_tok_len"),
         F.round(stop_ratio, 4).alias("stop_ratio"),

@@ -410,6 +410,223 @@ def blocklist_filter(
     ).drop("_hostname")
 
 
+def _bigram_buckets(docs: DataFrame, n_buckets: int,
+                    id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, bucket) stream: one row per word bigram, hashed into
+    ``n_buckets`` via the first 28 bits of md5 (the engine-portable
+    hash used throughout — DuckDB reproduces it with
+    ``('0x' || substr(md5(g),1,7))::BIGINT``, so oracle parity holds
+    bit-for-bit, unlike murmur3 ``F.hash``)."""
+    return (
+        tokens_barrier(docs, id_col, text_col)
+        .select("doc_id", F.explode(ngrams_col(F.col("_t"), 2))
+                .alias("_g"))
+        .select(
+            "doc_id",
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.encode("_g", "utf-8")), 1, 7),
+                    16, 10,
+                ).cast("long"),
+                F.lit(int(n_buckets)),
+            ).alias("bucket"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc
+    by how target-like its hashed bag-of-bigrams is.
+
+    Both corpora are featurized as bigram counts hashed into
+    ``n_buckets``; bucket unigram models get add-one smoothing over
+    the hashed vocabulary:
+
+        p(f) = (c_f + 1) / (C + n_buckets)
+        log_weight(doc) = Σ_f c_f(doc) · [ln p_tgt(f) − ln p_raw(f)]
+
+    Returns (doc_id, n_feats, log_weight), log_weight rounded to 4 dp
+    (summation order differs across engines in the last ulps); docs
+    with < 2 tokens have no features and weight 0.0.
+
+    Scale shape: both bucket models are map-side-combinable groupBys
+    whose OUTPUT is n_buckets rows — tiny regardless of corpus size —
+    so the per-bucket log-ratio table broadcasts.  Scoring is the
+    exploded bigram stream map-side-joined to that broadcast, then a
+    groupBy(doc_id) whose partial agg collapses each doc to one row
+    before the exchange (explode preserves partitioning, so every
+    bucket row of a doc is partition-local): the only corpus-scale
+    shuffle moves one row per doc.  The resampling step itself is
+    :func:`dsir_resample`.
+    """
+    raw_b = _bigram_buckets(docs, n_buckets, id_col, text_col)
+    tgt_b = _bigram_buckets(target, n_buckets, id_col, text_col)
+    rawc = raw_b.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("_cr")
+    )
+    tgtc = tgt_b.groupBy("bucket").agg(
+        F.count("*").cast("double").alias("_ct")
+    )
+    tot_r = rawc.agg(F.sum("_cr").alias("_cr_tot"))
+    tot_t = tgtc.agg(
+        F.coalesce(F.sum("_ct"), F.lit(0.0)).alias("_ct_tot")
+    )
+    B = F.lit(float(n_buckets))
+    # ratio over the RAW corpus's observed buckets (buckets absent
+    # from raw never appear in the scoring stream)
+    ratio = (
+        rawc.join(tgtc, "bucket", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("_ct", F.lit(0.0)) + 1.0)
+                    / (F.col("_ct_tot") + B)
+                )
+                - F.log((F.col("_cr") + 1.0) / (F.col("_cr_tot") + B))
+            ).alias("_r"),
+        )
+    )
+    scored = (
+        raw_b.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(F.sum("_r"), 4).alias("log_weight"),
+        )
+    )
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return spine.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Gumbel-top-k resampling over DSIR log weights: sampling k docs
+    WITHOUT replacement with probability ∝ exp(log_weight) is exactly
+    taking the k largest ``log_weight + Gumbel(0,1)`` keys (the
+    Gumbel-max trick), which Spark executes as a TakeOrdered — no
+    global sort materializes.
+
+    The Gumbel noise derives deterministically from md5(doc_id, seed)
+    (28-bit uniform, +0.5 to dodge u=0), so the sample is reproducible
+    across runs and cluster sizes — rand(seed) is partition-dependent
+    and would not be.
+
+    Returns the k selected rows (doc_id, log_weight, gumbel_key),
+    highest key first.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.col("doc_id").cast("string"),
+                                F.lit(str(int(seed))))
+                ),
+                1, 7,
+            ),
+            16, 10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 28))
+    key = F.col("log_weight") + (-F.log(-F.log(u)))
+    return (
+        weights.select(
+            "doc_id", "log_weight",
+            F.round(key, 4).alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), "doc_id")
+        .limit(int(k))
+    )
+
+
+def score_thresholds(
+    scored: DataFrame,
+    keep_rate: float,
+    score_col: str = "quality",
+    group_col: str = "lang",
+    keep: str = "upper",
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group score cutoff retaining ~``keep_rate`` of docs —
+    CCNet's calibration step: quality filters don't ship absolute
+    thresholds, they pick the cutoff per language so a target head
+    fraction survives (absolute cutoffs would gut low-resource
+    languages whose score distributions sit elsewhere).
+
+    ``keep="upper"`` keeps the TOP keep_rate fraction (threshold =
+    the (1−keep_rate)-quantile; filter score ≥ threshold — the
+    convention for goodness scores); ``keep="lower"`` keeps the
+    bottom fraction (CCNet perplexity: low = good).  Ties at the
+    cutoff are kept, so retention is ≥ keep_rate, never below.
+
+    Scale: ``exact=True`` uses Spark's exact ``percentile`` — it
+    buffers each group's value multiset on one reducer, fine up to
+    ~1e8 distinct values per group and required for oracle parity.
+    At crawl scale set ``exact=False`` for ``percentile_approx``
+    (bounded-memory Greenwald-Khanna sketch, mergeable map-side;
+    rank error ≤ 1/accuracy).  Either way the output is one row per
+    GROUP — broadcastable to the filter regardless of corpus size.
+
+    Returns (group_col, n_docs, threshold), threshold rounded to 4 dp.
+    """
+    if keep not in ("upper", "lower"):
+        raise ValueError(f"keep must be 'upper'|'lower', got {keep!r}")
+    p = F.lit(1.0 - keep_rate if keep == "upper" else keep_rate)
+    th = (
+        F.percentile(score_col, p)
+        if exact
+        else F.percentile_approx(score_col, p, F.lit(int(accuracy)))
+    )
+    return scored.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(th, 4).alias("threshold"),
+    )
+
+
+def apply_thresholds(
+    scored: DataFrame,
+    thresholds: DataFrame,
+    score_col: str = "quality",
+    group_col: str = "lang",
+    keep: str = "upper",
+) -> DataFrame:
+    """Filter ``scored`` by the per-group cutoffs from
+    :func:`score_thresholds` — a broadcast join (groups-sized table)
+    plus a map-side filter; the corpus never shuffles."""
+    if keep not in ("upper", "lower"):
+        raise ValueError(f"keep must be 'upper'|'lower', got {keep!r}")
+    cond = (
+        F.col(score_col) >= F.col("threshold")
+        if keep == "upper"
+        else F.col(score_col) <= F.col("threshold")
+    )
+    return (
+        scored.join(
+            F.broadcast(thresholds.select(group_col, "threshold")),
+            group_col,
+        )
+        .filter(cond)
+        .drop("threshold")
+    )
+
+
 def mix_weights(
     docs: DataFrame,
     group_col: str = "lang",

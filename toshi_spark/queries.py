@@ -2391,3 +2391,110 @@ SELECT lang, n_docs, round(p, 6) AS p,
 FROM scored, z
 """
 QUERIES["mix_weights"] = q_mix_weights
+
+
+_DSIR_B = 4096       # hashed bigram feature buckets
+_DSIR_EVERY = 13     # every 13th doc forms the synthetic target slice
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights against a deterministic synthetic
+    target slice (every 13th doc plays the curated corpus — both
+    engines derive it from doc_id arithmetic; production passes a
+    real curated DataFrame)."""
+    from .pipeline.training import dsir_weights
+
+    docs = load_documents(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % _DSIR_EVERY == 0)
+    return dsir_weights(docs, target, n_buckets=_DSIR_B)
+
+
+ORACLES["dsir_weights"] = f"""
+WITH toks AS ({_ORACLE_TOKS}),
+bigr AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 7))
+              AS BIGINT) % {_DSIR_B} AS bucket
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+rawc AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) AS cr FROM bigr
+  GROUP BY bucket
+),
+tgtc AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) AS ct FROM bigr
+  WHERE doc_id % {_DSIR_EVERY} = 0 GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT sum(cr) FROM rawc) AS cr_tot,
+         (SELECT coalesce(sum(ct), 0.0) FROM tgtc) AS ct_tot
+),
+ratio AS (
+  SELECT r.bucket,
+         ln((coalesce(tc.ct, 0.0) + 1.0) / (tot.ct_tot + {_DSIR_B}))
+         - ln((r.cr + 1.0) / (tot.cr_tot + {_DSIR_B})) AS lr
+  FROM rawc r LEFT JOIN tgtc tc USING (bucket), tot
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         round(sum(lr), 4) AS log_weight
+  FROM bigr JOIN ratio USING (bucket) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       coalesce(s.log_weight, 0.0) AS log_weight
+FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+"""
+QUERIES["dsir_weights"] = q_dsir_weights
+
+
+def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality cutoff keeping the top 70% of each
+    language (CCNet-style calibration: the threshold is relative to
+    each group's own score distribution, not absolute)."""
+    from .pipeline.textstats import quality_score
+    from .pipeline.training import score_thresholds
+
+    scored = quality_score(load_documents(spark, sf_dir),
+                           keep_cols=("lang",))
+    return score_thresholds(scored, keep_rate=0.7, score_col="quality",
+                            group_col="lang", keep="upper")
+
+
+# quantile_cont interpolates at rank (n-1)*p exactly like Spark's
+# exact percentile; both engines quantile the ROUNDED quality column
+ORACLES["quality_calibrate"] = """
+WITH arr AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS a
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang,
+    len(a) AS n_tokens,
+    CASE WHEN len(a) > 0 THEN
+      len(list_filter(a, t -> list_contains(
+        ['the','a','of','and','in','to','is','it','that','for'], t)))
+      * 1.0 / len(a)
+    ELSE 0.0 END AS stop_ratio,
+    CASE WHEN length(text) > 0 THEN
+      (length(text) - length(regexp_replace(lower(text), '[^a-z0-9]',
+                                            '', 'g')))
+      * 1.0 / length(text)
+    ELSE 0.0 END AS punct_ratio
+  FROM arr
+),
+q AS (
+  SELECT lang, round(
+    (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END)
+    + least(stop_ratio * 5.0, 0.3) - least(punct_ratio, 0.2), 4
+  ) AS quality
+  FROM feat
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(quality, 0.3), 4) AS threshold
+FROM q GROUP BY lang
+"""
+QUERIES["quality_calibrate"] = q_quality_calibrate
