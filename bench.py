@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "mix_weights",
     "dsir_weights",
     "quality_calibrate",
+    "fuzzy_contamination",
 ]
 
 

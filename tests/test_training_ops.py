@@ -294,3 +294,36 @@ def test_score_thresholds_lower_keep_and_approx(spark):
     import pytest
     with pytest.raises(ValueError):
         score_thresholds(scored, keep_rate=0.5, keep="sideways")
+
+
+def test_fuzzy_contamination_catches_paraphrase(spark):
+    from toshi_spark.pipeline.training import fuzzy_contamination
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seven wizards brew strong potions at midnight")
+    docs = _docs(spark, [
+        base,                                   # verbatim eval copy
+        base.replace("midnight", "noon"),       # near-dup of eval 0
+        "completely unrelated text about trains and stations here",
+    ])
+    ev = spark.createDataFrame([Row(doc_id=100, text=base)])
+    out = {(r["doc_id"], r["eval_id"]): r["jaccard"] for r in
+           fuzzy_contamination(docs, ev, threshold=0.5).collect()}
+    assert out[(0, 100)] == 1.0          # exact copy
+    assert (1, 100) in out and out[(1, 100)] >= 0.5   # paraphrase
+    assert not any(d == 2 for d, _ in out)            # unrelated clean
+
+
+def test_fuzzy_contamination_eval_bucket_cap(spark):
+    from toshi_spark.pipeline.training import fuzzy_contamination
+
+    boiler = "lorem ipsum dolor sit amet " * 3
+    docs = _docs(spark, [boiler])
+    # 5 identical boilerplate eval docs: with the cap below the bucket
+    # size every band bucket is dropped, so nothing is flagged
+    ev = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=boiler) for i in range(5)])
+    capped = fuzzy_contamination(docs, ev, max_eval_bucket=4).collect()
+    assert capped == []
+    full = fuzzy_contamination(docs, ev, max_eval_bucket=100).collect()
+    assert len(full) == 5

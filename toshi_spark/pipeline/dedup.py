@@ -164,26 +164,17 @@ def _signatures_from_tokens(
     return sh.select("doc_id", *aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    n_hashes: int = 8,
-    n_bands: int = 4,
-    max_bucket_size: int = 1000,
+def band_buckets(
+    signatures: DataFrame, n_hashes: int, n_bands: int
 ) -> DataFrame:
-    """Band the signatures and self-join buckets → candidate (a, b) pairs.
+    """(doc_id, band, bucket): each signature's n_bands band hashes —
+    bucket = md5 of the band's '|'-joined minhashes.
 
-    rows_per_band = n_hashes / n_bands; a pair collides if any band's
-    concatenated minhashes match.  Buckets above ``max_bucket_size``
-    (boilerplate) are dropped — the standard skew guard; at 100 TB this
-    is what keeps one "lorem ipsum" bucket from producing 10^12 pairs.
-    """
+    ONE explode, not an n_bands-way union: each union branch would
+    re-evaluate the upstream signature plan (map-only, no exchange to
+    reuse) — measured as an ~8× recompute of the signature kernel
+    when a downstream self-join doubles it again."""
     rows_per_band = n_hashes // n_bands
-    # ONE explode, not an n_bands-way union: each union branch would
-    # re-evaluate the upstream signature plan (now map-only with no
-    # exchange to reuse), and the self-join below doubles that again —
-    # measured as an ~8× recompute of the signature kernel.  After the
-    # explode, the bucket-size window's exchange is the single point
-    # both join sides reuse.
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -199,10 +190,26 @@ def lsh_candidate_pairs(
         )
         for b in range(n_bands)
     ])
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(band_structs).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Band the signatures and self-join buckets → candidate (a, b) pairs.
+
+    rows_per_band = n_hashes / n_bands; a pair collides if any band's
+    concatenated minhashes match.  Buckets above ``max_bucket_size``
+    (boilerplate) are dropped — the standard skew guard; at 100 TB this
+    is what keeps one "lorem ipsum" bucket from producing 10^12 pairs.
+    """
+    banded = band_buckets(signatures, n_hashes, n_bands)
     sized = banded.withColumn(
         "bucket_n",
         F.count("*").over(Window.partitionBy("band", "bucket")),

@@ -153,6 +153,94 @@ def contamination(
     )
 
 
+def fuzzy_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_eval_bucket: int = 1000,
+) -> DataFrame:
+    """Doc-level fuzzy decontamination: training docs whose shingle-set
+    Jaccard against ANY eval doc reaches ``threshold``, found by
+    cross-corpus MinHash-LSH banding.  Catches the paraphrased /
+    re-wrapped benchmark copies that exact n-gram overlap
+    (:func:`contamination`) misses.
+
+    Returns (doc_id, eval_id, jaccard) — one row per flagged
+    (train, eval) pair, jaccard exact (not estimated) and rounded to
+    4 dp.  Identity rows appear when the corpora share ids AND
+    content; callers screening a training corpus against a held-out
+    suite filter them out if the eval set was carved from the corpus.
+
+    Scale shape: the EVAL side (benchmark suites — 1e4-1e6 docs) is
+    the broadcast side of every join, so the corpus never shuffles:
+    train band hashes are map-only, the band match is a broadcast
+    hash join, and the verify stage joins broadcast eval shingle
+    arrays onto the (semi-join-restricted) candidate train docs.
+    Boilerplate eval buckets above ``max_eval_bucket`` are dropped —
+    the analogue of lsh_candidate_pairs' skew cap, computed on the
+    tiny side only.
+    """
+    from .dedup import (
+        band_buckets,
+        minhash_signatures,
+        shingles_col,
+        tokens_col as dd_tokens_col,
+    )
+
+    train_b = band_buckets(
+        minhash_signatures(docs, id_col=id_col, text_col=text_col,
+                           n_hashes=n_hashes, shingle_k=shingle_k),
+        n_hashes, n_bands,
+    )
+    eval_b = band_buckets(
+        minhash_signatures(eval_docs, id_col=id_col, text_col=text_col,
+                           n_hashes=n_hashes, shingle_k=shingle_k),
+        n_hashes, n_bands,
+    ).withColumnRenamed("doc_id", "eval_id")
+    eval_b = eval_b.withColumn(
+        "_bn", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("_bn") <= max_eval_bucket).drop("_bn")
+    cand = (
+        train_b.join(F.broadcast(eval_b), ["band", "bucket"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    # exact-Jaccard verify: train shingle arrays restricted to
+    # candidate docs; eval shingle arrays broadcast whole
+    tr_sh = (
+        docs.join(cand.select("doc_id").distinct(), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(
+                shingles_col(dd_tokens_col(text_col), shingle_k)
+            ).alias("_sha"),
+        )
+    )
+    ev_sh = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.array_distinct(
+            shingles_col(dd_tokens_col(text_col), shingle_k)
+        ).alias("_shb"),
+    )
+    return (
+        cand.join(tr_sh, "doc_id")
+        .join(F.broadcast(ev_sh), "eval_id")
+        .withColumn("n_inter", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("_sha") + F.size("_shb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "eval_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 # --- concat-and-chunk sequence packing ----------------------------------
 
 

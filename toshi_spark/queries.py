@@ -2498,3 +2498,70 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM q GROUP BY lang
 """
 QUERIES["quality_calibrate"] = q_quality_calibrate
+
+
+_FUZZY_EVAL_EVERY = 3  # every 3rd doc doubles as the synthetic eval set
+
+
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus fuzzy decontamination: the train side is the
+    dup-augmented corpus, the eval side every 3rd original doc, so the
+    planted duplicates of docs 0/3/6/9 are guaranteed flagged pairs.
+    Identity pairs (the eval slice is carved from the corpus) are
+    excluded — production eval suites are disjoint corpora."""
+    from .pipeline.training import fuzzy_contamination
+
+    train = _docs_with_dups(spark, sf_dir)
+    ev = load_documents(spark, sf_dir).filter(
+        F.col("doc_id") % _FUZZY_EVAL_EVERY == 0
+    ).select("doc_id", "text")
+    return fuzzy_contamination(train, ev).filter(
+        F.col("doc_id") != F.col("eval_id")
+    )
+
+
+ORACLES["fuzzy_contamination"] = f"""
+WITH {_DOCS_AUG_SQL}, {_SHINGLES_SQL}
+, sigs AS (
+  SELECT doc_id, {_mh_sql_cols(8)} FROM shhash GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sigs
+),
+ev AS (
+  SELECT doc_id AS eval_id, band, bucket FROM banded
+  WHERE doc_id % {_FUZZY_EVAL_EVERY} = 0 AND doc_id < 10000
+),
+evkept AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bn FROM ev
+  ) WHERE bn <= 1000
+),
+cand AS (
+  SELECT DISTINCT t.doc_id, e.eval_id
+  FROM banded t JOIN evkept e
+    ON t.band = e.band AND t.bucket = e.bucket
+  WHERE t.doc_id <> e.eval_id
+),
+shset AS (
+  SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM aug_sh
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shset GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id, c.eval_id, count(*) AS n_inter
+  FROM cand c
+  JOIN shset sa ON sa.doc_id = c.doc_id
+  JOIN shset sb ON sb.doc_id = c.eval_id AND sb.shingle = sa.shingle
+  GROUP BY c.doc_id, c.eval_id
+)
+SELECT i.doc_id, i.eval_id,
+       round(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_id
+JOIN sizes zb ON zb.doc_id = i.eval_id
+WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+"""
+QUERIES["fuzzy_contamination"] = q_fuzzy_contamination
