@@ -101,6 +101,24 @@ def main() -> None:
 
     spark = get_spark("toshi_spark_bench", cores=cpus)
 
+    # ---- contention canary: a FIXED all-core Spark job (range-sum,
+    # zero I/O, zero shuffle — pure whole-stage-codegen arithmetic)
+    # timed at known points in the run.  This sandbox host shows
+    # bursty external CPU contention (BASELINE.md: identical code
+    # measuring 0.93 s vs 10.6 s minutes apart); the canary turns
+    # "was this window polluted?" from a re-run argument into a
+    # number in the artifact.  Quiet reference: ~0.4-0.6 s at 32
+    # cores; multiples of that indicate steal DURING this bench.
+    def canary() -> float:
+        t = time.perf_counter()
+        spark.range(1_500_000_000, numPartitions=cpus).selectExpr(
+            "sum(id * 3 + 1)"
+        ).collect()
+        return round(time.perf_counter() - t, 4)
+
+    canary()  # untimed warmup
+    canaries = {"pre": canary()}
+
     # ---- index build throughput (analyze + postings + stats materialize)
     t0 = time.perf_counter()
     ix = get_index(spark, sf_dir)
@@ -116,9 +134,12 @@ def main() -> None:
     # spin-up), then the MEDIAN of three timed runs — this sandbox VM
     # shows ~2x run-to-run noise under hypervisor CPU steal (documented
     # in BASELINE.md), so a single sample is not a serving metric
+    canaries["post_build"] = canary()
     timings: dict[str, float] = {}
     spreads: dict[str, dict] = {}
-    for name in BENCH_QUERIES:
+    for qi, name in enumerate(BENCH_QUERIES):
+        if qi == len(BENCH_QUERIES) // 2:
+            canaries["mid_queries"] = canary()
         fn = QUERIES[name]
         fn(spark, sf_dir).collect()
         trials = []
@@ -131,6 +152,7 @@ def main() -> None:
         # regression from one VM-steal-polluted trial without rerunning
         spreads[name] = {"min": round(min(trials), 4),
                          "max": round(max(trials), 4)}
+    canaries["post_queries"] = canary()
 
     # ---- block-max pruning effectiveness on a crawl-shaped corpus.
     # The sf-dir documents table is flat (no host locality), where block
@@ -174,6 +196,10 @@ def main() -> None:
             ),
             "cpus": cpus,
             "query_spread": spreads,
+            # fixed-work range-sum timings at known points; quiet
+            # reference ~0.4-0.6 s at 32 cores — larger values mean
+            # external host contention polluted THIS window
+            "contention_canary": canaries,
             "blockmax_skewed": skew,
             "durable": durable,
         },
