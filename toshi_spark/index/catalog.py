@@ -604,7 +604,11 @@ class IndexCatalog:
         if os.path.exists(tomb_dir) and any(
             f.endswith(".parquet") for f in os.listdir(tomb_dir)
         ):
-            return self.spark.read.parquet(tomb_dir)
+            # pinned schema: skip parquet inference (one fewer tiny
+            # driver job per open; see segments.POSTINGS_READ_SCHEMA)
+            return self.spark.read.schema("doc_id bigint").parquet(
+                tomb_dir
+            )
         return None
 
     def _tombstones(self, name: str,

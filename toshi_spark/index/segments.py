@@ -45,6 +45,27 @@ from .builder import IndexTables, build_index, salted_postings
 # mixed-schema parquet (null doc_len → null BM25 scores).
 SEGMENT_FORMAT_VERSION = 4
 
+# pinned read schemas for the v4 on-disk layout.  _check_format
+# guarantees every committed segment a reader touches is exactly this
+# version, so open paths pass these to spark.read instead of paying
+# parquet schema inference — at 10k+ segments the footer-sampling
+# job and merged-schema reconciliation are pure waste, and locally
+# each skipped inference is one fewer tiny driver job per open().
+# Bump these together with SEGMENT_FORMAT_VERSION.
+POSTINGS_READ_SCHEMA = (
+    "field string, term string, doc_id bigint, tf int, "
+    "positions array<int>, doc_len int, salt int"
+)
+DOCLENS_READ_SCHEMA = "field string, doc_id bigint, doc_len int"
+TERMSTATS_READ_SCHEMA = "field string, term string, df bigint"
+BLOCKS_READ_SCHEMA = (
+    "field string, term string, salt int, block_id int, "
+    "first_doc bigint, last_doc bigint, count int, max_tf int, "
+    "min_tf int, min_dl bigint, max_dl bigint, max_tfn double, "
+    "hi_tfn double, ref_avgdl double, doc_deltas binary, tfs binary, "
+    "dls binary, seg string"
+)
+
 
 @dataclass
 class ManifestEntry:
@@ -463,12 +484,16 @@ def open_segmented_tables(spark: SparkSession, index_dir: str) -> IndexTables:
     seg_dirs = [
         os.path.join(index_dir, "segments", e.segment_id) for e in entries
     ]
-    postings = spark.read.parquet(*[f"{d}/postings" for d in seg_dirs]).drop(
-        "salt"
+    postings = spark.read.schema(POSTINGS_READ_SCHEMA).parquet(
+        *[f"{d}/postings" for d in seg_dirs]
+    ).drop("salt")
+    doclens = spark.read.schema(DOCLENS_READ_SCHEMA).parquet(
+        *[f"{d}/doclens" for d in seg_dirs]
     )
-    doclens = spark.read.parquet(*[f"{d}/doclens" for d in seg_dirs])
     termstats = (
-        spark.read.parquet(*[f"{d}/termstats" for d in seg_dirs])
+        spark.read.schema(TERMSTATS_READ_SCHEMA).parquet(
+            *[f"{d}/termstats" for d in seg_dirs]
+        )
         .groupBy("field", "term")
         .agg(F.sum("df").alias("df"))
     )
@@ -533,4 +558,6 @@ def open_blocks(spark: SparkSession, index_dir: str) -> DataFrame:
     # 'seg' disambiguates block keys across segments (the block-max
     # path dedupes on the block key); it is a stored column so term
     # filters still push down to the parquet scan
-    return spark.read.parquet(*[f"{d}/blocks" for d in seg_dirs])
+    return spark.read.schema(BLOCKS_READ_SCHEMA).parquet(
+        *[f"{d}/blocks" for d in seg_dirs]
+    )
