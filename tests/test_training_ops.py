@@ -327,3 +327,34 @@ def test_fuzzy_contamination_eval_bucket_cap(spark):
     assert capped == []
     full = fuzzy_contamination(docs, ev, max_eval_bucket=100).collect()
     assert len(full) == 5
+
+
+def test_new_ops_tolerate_null_and_empty_text(spark):
+    """Crawl reality: null text (failed extraction), empty strings,
+    and non-ASCII must flow through without crashing and land in the
+    documented zero/absent buckets."""
+    from toshi_spark.pipeline.training import (
+        dsir_weights,
+        fuzzy_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "héllo wörld naïve café breve über"),
+         (3, "plain ascii words repeated words here")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "plain ascii words repeated words here")],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r for r in dsir_weights(docs, target).collect()}
+    # every input doc keeps a row; null/empty have no features
+    assert set(w) == {0, 1, 2, 3}
+    assert w[0]["n_feats"] == 0 and w[0]["log_weight"] == 0.0
+    assert w[1]["n_feats"] == 0
+    assert w[3]["log_weight"] > w[2]["log_weight"]
+
+    fz = fuzzy_contamination(docs, target, threshold=0.5).collect()
+    flagged = {(r["doc_id"], r["eval_id"]) for r in fz}
+    assert (3, 100) in flagged          # the verbatim copy
+    assert all(d not in (0, 1) for d, _ in flagged)  # null/empty clean
