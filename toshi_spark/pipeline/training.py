@@ -186,20 +186,32 @@ def fuzzy_contamination(
     tiny side only.
     """
     from .dedup import (
+        _cut_lineage,
+        _signatures_from_tokens,
         band_buckets,
-        minhash_signatures,
         shingles_col,
         tokens_col as dd_tokens_col,
     )
 
+    # each corpus is scanned + tokenized ONCE into a persisted token
+    # table feeding both its signature kernel and its shingle stage
+    # (the minhash_dedup fusion; the unfused form re-ran the dominant
+    # scan+tokenize per stage — measured there as the bulk of the
+    # slowest bench query).  MEMORY_AND_DISK: spills, never OOMs.
+    tr_toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        dd_tokens_col(text_col).alias("_toks"),
+    ).persist()
+    ev_toks = eval_docs.select(
+        F.col(id_col).alias("doc_id"),
+        dd_tokens_col(text_col).alias("_toks"),
+    ).persist()
     train_b = band_buckets(
-        minhash_signatures(docs, id_col=id_col, text_col=text_col,
-                           n_hashes=n_hashes, shingle_k=shingle_k),
+        _signatures_from_tokens(tr_toks, n_hashes, shingle_k),
         n_hashes, n_bands,
     )
     eval_b = band_buckets(
-        minhash_signatures(eval_docs, id_col=id_col, text_col=text_col,
-                           n_hashes=n_hashes, shingle_k=shingle_k),
+        _signatures_from_tokens(ev_toks, n_hashes, shingle_k),
         n_hashes, n_bands,
     ).withColumnRenamed("doc_id", "eval_id")
     eval_b = eval_b.withColumn(
@@ -213,21 +225,22 @@ def fuzzy_contamination(
     # exact-Jaccard verify: train shingle arrays restricted to
     # candidate docs; eval shingle arrays broadcast whole
     tr_sh = (
-        docs.join(cand.select("doc_id").distinct(), id_col, "left_semi")
+        tr_toks.join(cand.select("doc_id").distinct(), "doc_id",
+                     "left_semi")
         .select(
-            F.col(id_col).alias("doc_id"),
+            "doc_id",
             F.array_distinct(
-                shingles_col(dd_tokens_col(text_col), shingle_k)
+                shingles_col(F.col("_toks"), shingle_k)
             ).alias("_sha"),
         )
     )
-    ev_sh = eval_docs.select(
-        F.col(id_col).alias("eval_id"),
+    ev_sh = ev_toks.select(
+        F.col("doc_id").alias("eval_id"),
         F.array_distinct(
-            shingles_col(dd_tokens_col(text_col), shingle_k)
+            shingles_col(F.col("_toks"), shingle_k)
         ).alias("_shb"),
     )
-    return (
+    out = (
         cand.join(tr_sh, "doc_id")
         .join(F.broadcast(ev_sh), "eval_id")
         .withColumn("n_inter", F.size(F.array_intersect("_sha", "_shb")))
@@ -239,6 +252,13 @@ def fuzzy_contamination(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id", "eval_id", F.round("jaccard", 4).alias("jaccard"))
     )
+    # eager materialization so the two token caches can be released
+    # (returning the lazy plan would pin them for the caller's
+    # lifetime — the ngram_jaccard_pairs lesson)
+    out = _cut_lineage(out)
+    tr_toks.unpersist()
+    ev_toks.unpersist()
+    return out
 
 
 # --- concat-and-chunk sequence packing ----------------------------------
