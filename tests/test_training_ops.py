@@ -358,3 +358,40 @@ def test_new_ops_tolerate_null_and_empty_text(spark):
     flagged = {(r["doc_id"], r["eval_id"]) for r in fz}
     assert (3, 100) in flagged          # the verbatim copy
     assert all(d not in (0, 1) for d, _ in flagged)  # null/empty clean
+
+
+def test_ngrams_col_matches_python_reference(spark):
+    """Property: the Generate-barrier + transform n-gram construction
+    equals the obvious Python sliding window for arbitrary token
+    lists and n — this function was rewritten twice for the
+    CollapseProject pathology (see ngrams_col docstring), so its
+    semantics are pinned independently of any plan shape."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from toshi_spark.pipeline.training import ngrams_col, tokens_barrier
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        toks=st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+            min_size=0, max_size=12,
+        ),
+        n=st.integers(min_value=2, max_value=5),
+    )
+    def check(toks, n):
+        docs = spark.createDataFrame(
+            [Row(doc_id=0, text=" ".join(toks))])
+        out = (
+            tokens_barrier(docs)
+            .select(ngrams_col(F.col("_t"), n).alias("g"))
+            .collect()[0]["g"]
+        )
+        expect = [
+            " ".join(toks[i:i + n])
+            for i in range(len(toks) - n + 1)
+        ] if len(toks) >= n else []
+        assert out == expect
+
+    check()
