@@ -33,7 +33,6 @@ BENCH_QUERIES = [
     "ft_all_sorted",
     "ft_facets",
     "dedup_exact",
-    "token_count",
     "ann_cosine",
     "ann_ivf",
     "sessionize",
@@ -43,17 +42,8 @@ BENCH_QUERIES = [
     "ft_segmented_term_bm25",
     "minhash_signatures",
     "embedding_neardup",
-    "quality",
-    "lang_id",
-    "fingerprint",
-    "simhash",
-    "extract_text",
-    "multimodal_decode",
     "dedup_clusters",
     "sample_stratified",
-    "repetition",
-    "pii_scrub",
-    "boilerplate_strip",
     "chunk_documents",
     # round 4: the full 46-query oracle contract is timed — a perf
     # regression in any driver-checked query now shows up here
@@ -63,16 +53,12 @@ BENCH_QUERIES = [
     "lsh_pairs",
     "ngram_jaccard",
     "ann_lsh_buckets",
-    "multimodal_meta",
-    "multimodal_features",
-    "multimodal_resize",
     "multimodal_frames",
     "ft_raw_fuzzy",
     "ft_delete_visibility",
     "dedup_survivors",
     # round 5: new web-pipeline stages
     "paragraph_dedup",
-    "url_canonicalize",
     "host_stats",
     # round 5: training-data assembly stages
     "contamination",
@@ -81,12 +67,15 @@ BENCH_QUERIES = [
     "blocklist_filter",
     "gopher_filter",
     "substring_dedup",
-    "unigram_entropy",
     "host_cap",
     "mix_weights",
     "dsir_weights",
     "quality_calibrate",
     "fuzzy_contamination",
+    # round 6: fused single-scan profile queries (contract consolidation)
+    "text_profile",
+    "webtext_clean",
+    "multimodal_pipeline",
 ]
 
 

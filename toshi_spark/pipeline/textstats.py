@@ -9,11 +9,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import tokens_col
+from .dedup import simhash_col, tokens_col
 
 EN_STOPWORDS = [
     "the", "a", "of", "and", "in", "to", "is", "it", "that", "for",
 ]
+
+# GPT-2-style pretokenizer, RE2-safe subset (no lookahead, so interior
+# multi-space runs count as one whitespace token instead of splitting
+# one space onto the next word — documented approximation; the pattern
+# is shared verbatim with the DuckDB oracle).  Gives the BPE-ish token
+# count a data pipeline budgets corpora with.
+BPE_PRETOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+)
 
 
 def _stopword_hits(tokens: Column, words: list[str]) -> Column:
@@ -98,19 +107,22 @@ FP_BASE = 1_000_003
 FP_MOD = 2_147_483_647
 
 
-def fingerprint(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text", gram: int = 8) -> DataFrame:
-    """Content fingerprint: min over character n-gram rolling hashes.
+def add_fingerprint(df: DataFrame, text_col: str = "text",
+                    out_col: str = "fingerprint",
+                    gram: int = 8) -> DataFrame:
+    """Append a rolling-hash min fingerprint of ``text_col`` via one
+    ``mapInArrow`` kernel; ``text_col`` is CONSUMED (dropped from the
+    output) and every other input column passes through untouched — so
+    a profile select can compute its column-algebra stats first and pay
+    the Arrow transfer for the text bytes exactly once, with no re-scan
+    and no join back.
 
-    The rolling-hash/winnowing family collapsed to its min-hash core:
     fp = min_j poly_hash(text[j:j+gram]) with a Karp-Rabin polynomial
-    mod 2^31-1 — shift-invariant and locality-robust.
-
-    Computed as a ``mapInArrow`` kernel: per doc, one numpy
-    sliding-window matmul against the power kernel.  The previous form
-    exploded one row per character position — in codegen, but at
-    100 TB it materializes ~total-bytes rows before the min-agg; the
-    batched kernel touches each byte once with zero intermediate rows.
+    mod 2^31-1 (shift-invariant, locality-robust — the winnowing
+    family collapsed to its min-hash core).  Per doc the kernel does
+    one numpy sliding-window matmul against the power kernel: each
+    byte is touched once, zero intermediate rows (the explode-per-
+    position form would materialize ~total-bytes rows at 100 TB).
     Texts shorter than ``gram`` hash as one zero-padded window; empty
     text hashes to 0.
     """
@@ -122,14 +134,21 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     for t in range(gram - 2, -1, -1):
         kernel[t] = (kernel[t + 1] * FP_BASE) % FP_MOD
 
+    in_fields = df.schema.fields
+    text_idx = [f.name for f in in_fields].index(text_col)
+    out_names = [f.name for f in in_fields if f.name != text_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in in_fields if f.name != text_col
+    ) + f", {out_col} long"
+
     def kern(batches):
         pad = np.zeros(gram - 1, dtype=np.uint8)
         for b in batches:
             if b.num_rows == 0:
                 continue
-            ids = b.column(0).to_numpy(zero_copy_only=False)
             out = np.zeros(b.num_rows, dtype=np.int64)
-            for r, s in enumerate(b.column(1).to_pylist()):
+            for r, s in enumerate(b.column(text_idx).to_pylist()):
                 bs = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8)
                 if bs.size == 0:
                     continue
@@ -138,15 +157,25 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                     : max(bs.size - gram + 1, 1)
                 ]
                 out[r] = ((w.astype(np.int64) @ kernel) % FP_MOD).min()
+            passthrough = [
+                b.column(i) for i in range(b.num_columns) if i != text_idx
+            ]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, type=pa.int64()),
-                 pa.array(out, type=pa.int64())],
-                names=["doc_id", "fingerprint"],
+                passthrough + [pa.array(out, type=pa.int64())],
+                names=out_names + [out_col],
             )
 
-    return docs.select(
-        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
-    ).mapInArrow(kern, "doc_id long, fingerprint long")
+    return df.mapInArrow(kern, out_schema)
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", gram: int = 8) -> DataFrame:
+    """Content fingerprint → (doc_id, fingerprint); see add_fingerprint."""
+    return add_fingerprint(
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(text_col)),
+        text_col=text_col, gram=gram,
+    )
 
 
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
@@ -165,6 +194,43 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     previous explode + groupBy(doc, bigram) form shuffled every bigram
     of the corpus to compute what never leaves its row.
     """
+    dup_line_frac, top_bigram_frac = repetition_cols(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        dup_line_frac.alias("dup_line_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+    )
+
+
+def mode_run_count(arr: Column) -> Column:
+    """Count of the most frequent element = longest equal-run in the
+    sorted array, via ONE aggregate fold (no explode, no groupBy)."""
+
+    def run_step(acc, x):
+        run_new = F.when(
+            acc["prev"].isNotNull() & (acc["prev"] == x),
+            acc["run"] + F.lit(1),
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            F.greatest(acc["best"], run_new).alias("best"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        run_step,
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_cols(text_col: str = "text") -> tuple[Column, Column]:
+    """(dup_line_frac, top_bigram_frac) as rounded column expressions."""
     lines = F.filter(
         F.transform(F.split(F.col(text_col), "\n"),
                     lambda l: F.trim(l)),
@@ -186,36 +252,12 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
             lambda x, y: F.concat(x, F.lit(" "), y),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # mode count = longest equal-run in the sorted array, via one fold
-    def run_step(acc, x):
-        run_new = F.when(
-            acc["prev"].isNotNull() & (acc["prev"] == x),
-            acc["run"] + F.lit(1),
-        ).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"),
-            run_new.alias("run"),
-            F.greatest(acc["best"], run_new).alias("best"),
-        )
-
-    mc = F.aggregate(
-        F.array_sort(bigrams),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-        ),
-        run_step,
-        lambda acc: acc["best"],
-    )
+    mc = mode_run_count(bigrams)
     tc = F.size(bigrams)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.round(dup_line_frac, 4).alias("dup_line_frac"),
-        F.when(
-            tc > 0, F.round(mc.cast("double") / tc, 4)
-        ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
-    )
+    top_bigram_frac = F.when(
+        tc > 0, F.round(mc.cast("double") / tc, 4)
+    ).otherwise(F.lit(0.0))
+    return F.round(dup_line_frac, 4), top_bigram_frac
 
 
 # PII patterns — shared verbatim with the DuckDB oracle, so the subset
@@ -407,6 +449,20 @@ def unigram_entropy(
     """
     toks = tokens_col(text_col)
     n = F.size(toks)
+    n_types, ttr, ent = entropy_cols(toks)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(ent, 4).alias("entropy"),
+    )
+
+
+def entropy_cols(toks: Column) -> tuple[Column, Column, Column]:
+    """(n_types, ttr, entropy) column expressions over a token array —
+    one fold over the sorted array (a run's length IS its count)."""
+    n = F.size(toks)
 
     def run_step(acc, x):
         is_cont = acc["prev"].isNotNull() & (acc["prev"] == x)
@@ -456,10 +512,87 @@ def unigram_entropy(
     ttr = F.when(
         n > 0, folded["types"].cast("double") / n.cast("double")
     ).otherwise(F.lit(0.0))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        n.cast("long").alias("n_tokens"),
-        folded["types"].cast("long").alias("n_types"),
+    return folded["types"].cast("long"), ttr, ent
+
+
+def text_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    simhash_bits: int = 16,
+) -> DataFrame:
+    """The full per-document text profile in ONE corpus scan: token
+    counts (whitespace / alnum-run / BPE-ish), language-ID heuristic,
+    quality features + composite score, repetition signals, unigram
+    entropy + TTR, SimHash signature, and the rolling-hash content
+    fingerprint.
+
+    Everything except the fingerprint is JVM column algebra evaluated
+    in a single projection (whole-stage codegen with subexpression
+    elimination, so the token array is computed once per row, not once
+    per stat); the fingerprint rides ``add_fingerprint``'s Arrow
+    kernel, which consumes the text bytes and passes the already-
+    computed stats through.  Map-only, zero exchanges — at 100 TB this
+    replaces seven separate scans of the corpus (one per stat family)
+    with one, which is the difference between a profile job and seven
+    profile jobs.
+
+    Returns (doc_id, n_ws, n_tokens, n_bpe, en_ratio, pred,
+    mean_tok_len, stop_ratio, punct_ratio, digit_ratio, quality,
+    dup_line_frac, top_bigram_frac, n_types, ttr, entropy, simhash,
+    fingerprint).
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    alnum_chars = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    )
+    digit_chars = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    stop_hits = _stopword_hits(toks, EN_STOPWORDS)
+    en_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    mean_tok_len = F.when(
+        n_tokens > 0, alnum_chars / n_tokens
+    ).otherwise(F.lit(0.0))
+    stop_ratio = en_ratio
+    punct_ratio = F.when(
+        n_chars > 0, (n_chars - alnum_chars) / n_chars
+    ).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, digit_chars / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    length_ok = (n_tokens >= 10) & (n_tokens <= 5000)
+    score = (
+        F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))
+        + F.least(stop_ratio * F.lit(5.0), F.lit(0.3))
+        - F.least(punct_ratio, F.lit(0.2))
+    )
+    dup_line_frac, top_bigram_frac = repetition_cols(text_col)
+    n_types, ttr, ent = entropy_cols(toks)
+    stats = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col),
+        F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("n_ws"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE),
+                                 F.lit(0))
+        ).cast("long").alias("n_bpe"),
+        F.round(en_ratio, 4).alias("en_ratio"),
+        F.when(en_ratio >= 0.05, F.lit("en")).otherwise(F.lit("und"))
+        .alias("pred"),
+        F.round(mean_tok_len, 4).alias("mean_tok_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(score, 4).alias("quality"),
+        dup_line_frac.alias("dup_line_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        n_types.alias("n_types"),
         F.round(ttr, 4).alias("ttr"),
         F.round(ent, 4).alias("entropy"),
+        simhash_col(toks, bits=simhash_bits).alias("simhash"),
     )
+    return add_fingerprint(stats, text_col=text_col)
