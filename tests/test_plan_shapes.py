@@ -114,3 +114,112 @@ def test_mix_weights_normalizers_broadcast_not_cartesian(spark):
     # shuffled cartesian
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+# --- Round 6: search-path pins (BASELINE.md plan-audit claims) ----------
+#
+# The load-bearing serving-path claims lived in prose only; these
+# assertions keep a compiler refactor from silently regressing them.
+# Counting convention matches the round-3 audit: FULL lineage with
+# cache=False over a parquet-backed corpus, so the only acceptable
+# hash exchanges are the ones named below (field-grain stats aggs are
+# metadata-scale and allowed; doc/posting-grain exchanges are not).
+
+import re
+
+
+def _hash_exchanges(df) -> list[str]:
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    return [m.group(1)
+            for m in re.finditer(r"Exchange hashpartitioning\((\w+)", plan)]
+
+
+def _search_index(spark, tmp_path):
+    from toshi_spark.engine import FullTextIndex
+    from toshi_spark.schema import FieldSpec, IndexSchema
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i,
+             text=f"alpha beta tok{i} {'spark' if i % 3 == 0 else 'flink'}")
+         for i in range(50)]
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    schema = IndexSchema(
+        [FieldSpec("text", "text", stored=True, indexed=True,
+                   positions=True)]
+    )
+    return FullTextIndex.build(
+        spark, spark.read.parquet(str(tmp_path / "docs")), schema,
+        id_col="doc_id", name="planpin", cache=False,
+    )
+
+
+def test_single_term_plan_has_no_data_scale_exchange(spark, tmp_path):
+    """Single-term BM25: pushed scan → broadcast joins → top-k; the
+    only hash exchange in the FULL lineage is the field-grain avgdl
+    agg (one row per field — metadata, not data)."""
+    from toshi_spark.query.dsl import parse_search
+
+    ix = _search_index(spark, tmp_path)
+    df = ix.search_df(
+        parse_search({"query": {"term": {"text": "spark"}}, "limit": 10})
+    )
+    keys = _hash_exchanges(df)
+    assert all(k.startswith("field") for k in keys), keys
+
+
+def test_phrase_plan_has_exactly_one_doc_id_exchange(spark, tmp_path):
+    """Phrase: the term→positions groupBy is the one doc_id exchange;
+    everything else broadcasts."""
+    from toshi_spark.query.dsl import parse_search
+
+    ix = _search_index(spark, tmp_path)
+    df = ix.search_df(
+        parse_search({"query": {"phrase": {"text": {"terms":
+                     ["alpha", "beta"]}}}, "limit": 10})
+    )
+    keys = _hash_exchanges(df)
+    doc_keys = [k for k in keys if k.startswith("doc_id")]
+    rest = [k for k in keys if not k.startswith("doc_id")]
+    assert len(doc_keys) == 1, keys
+    assert all(k.startswith("field") for k in rest), keys
+
+
+def test_bool_fast_path_has_exactly_one_doc_id_exchange(spark, tmp_path):
+    """Bool fast path: one fused doc_id exchange (conditional-sum agg),
+    not the two-phase distinct shape."""
+    from toshi_spark.query.dsl import parse_search
+
+    ix = _search_index(spark, tmp_path)
+    df = ix.search_df(
+        parse_search({"query": {"bool": {
+            "must": [{"term": {"text": "spark"}}],
+            "must_not": [{"term": {"text": "tok7"}}],
+        }}, "limit": 10})
+    )
+    keys = _hash_exchanges(df)
+    doc_keys = [k for k in keys if k.startswith("doc_id")]
+    rest = [k for k in keys if not k.startswith("doc_id")]
+    assert len(doc_keys) == 1, keys
+    assert all(k.startswith("field") for k in rest), keys
+
+
+def test_host_cap_window_carries_no_payload(spark):
+    """host_cap's per-host exchange moves only (id, host, rank-key) —
+    the page payload joins back after the cap — and Spark's
+    WindowGroupLimit bounds the rows entering the window sort."""
+    from toshi_spark.pipeline.webtext import host_cap
+
+    pages = spark.createDataFrame(
+        [Row(doc_id=i, host=f"h{i % 3}", url=f"https://h{i % 3}/p{i}",
+             payload="x" * 10) for i in range(30)]
+    )
+    df = host_cap(pages, cap=2)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    # the Window node's input attributes must be exactly the projected
+    # slice — no url/payload below the window
+    win = plan[plan.index("Window "):]
+    exch = win[win.index("Exchange"):win.index("Exchange") + 400]
+    assert "payload" not in exch and "url" not in exch

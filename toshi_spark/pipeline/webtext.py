@@ -303,22 +303,28 @@ def host_cap(
     by (md5(doc_id), doc_id) within their host — a seedless uniform
     shuffle both engines reproduce — and ranks above ``cap`` drop.
 
-    Scale shape: one hash-partition by host; the rank is computed in
-    the window operator and the filter sits directly on it, so Spark
-    prunes rows past ``cap`` inside the window sort (same
-    rank-in-window shape as ``sample_stratified``).  Host skew is the
-    operating point, not a hazard: a 10^8-page host still flows
-    through one partition, but only as (md5, id) pairs — the page
-    payload joins back AFTER the cap via the kept id list.
+    Scale shape: the window runs over a PROJECTED (id, host, rank-key)
+    slice — the per-host exchange and sort never carry the page
+    payload, so a 10^8-page host flows through its partition as
+    ~50-byte rows, not pages (and Spark's WindowGroupLimit pushes the
+    rank≤cap filter below the exchange, bounding even those).  The
+    payload joins back on the kept-id list, which is OUTPUT-sized
+    (≤ cap per host) — AQE picks broadcast when it fits.  Column
+    contract unchanged: full input row + ``host_rank``.
     """
     from pyspark.sql import Window
 
-    keyed = pages.withColumn(
-        "_rk_key", F.md5(F.col(id_col).cast("string"))
+    keyed = pages.select(
+        F.col(id_col).alias("_cap_id"),
+        F.col("host").alias("_cap_host"),
+        F.md5(F.col(id_col).cast("string")).alias("_rk_key"),
     )
-    w = Window.partitionBy("host").orderBy("_rk_key", id_col)
-    return (
+    w = Window.partitionBy("_cap_host").orderBy("_rk_key", "_cap_id")
+    kept = (
         keyed.withColumn("host_rank", F.row_number().over(w))
         .where(F.col("host_rank") <= cap)
-        .drop("_rk_key")
+        .select("_cap_id", "host_rank")
     )
+    return pages.join(
+        kept, pages[id_col] == kept["_cap_id"], "inner"
+    ).drop("_cap_id")
