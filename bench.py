@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "text_profile",
     "webtext_clean",
     "multimodal_pipeline",
+    # round 6: end-to-end training-mix assembly (integration query)
+    "assemble_training_mix",
 ]
 
 

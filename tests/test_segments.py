@@ -455,3 +455,47 @@ def test_stale_format_purge_refuses_unrecreatable(spark, tmp_path):
                          fingerprint="fp1")
     assert all(e.format_version == SEGMENT_FORMAT_VERSION for e in out)
     assert old_id not in {e.segment_id for e in Manifest(idx).entries()}
+
+
+def test_open_issues_o1_jobs_per_table_not_per_segment(spark, tmp_path):
+    """Round-6 scale pin: opening a many-segment index must cost O(1)
+    Spark jobs per TABLE (parallel file-listing jobs), never O(n
+    segments) — with pinned read schemas there is no per-segment
+    footer inference, and stats stitch from stats.json driver-side.
+
+    The parallel-listing threshold is lowered so even this small
+    8-segment fixture exercises the many-path listing code path a
+    256-segment catalog hits (measured separately: 256 segments open
+    with the same job count, scripts_segments_scale.py)."""
+    from pyspark.sql import Row
+    from toshi_spark.index.segments import (
+        build_segments,
+        open_segmented_tables,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha tok{i} beta") for i in range(64)]
+    )
+    idx = str(tmp_path / "seg8")
+    build_segments(spark, docs, idx, id_col="doc_id",
+                   text_fields="text", n_chunks=8, index_name="jobpin",
+                   fingerprint="v1")
+    old = spark.conf.get(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    )
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "4"
+    )
+    try:
+        sc = spark.sparkContext
+        sc.setJobGroup("openpin", "open jobs pin")
+        open_segmented_tables(spark, idx)
+        sc.setJobGroup("afterpin", "")
+        jobs = sc.statusTracker().getJobIdsForGroup("openpin")
+        # one listing job per parquet table at most (postings, doclens,
+        # termstats, blocks) + slack; must be far below n_segments
+        assert len(jobs) <= 6, f"open launched {len(jobs)} jobs"
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold", old
+        )

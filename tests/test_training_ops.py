@@ -395,3 +395,68 @@ def test_ngrams_col_matches_python_reference(spark):
         assert out == expect
 
     check()
+
+
+def test_fuzzy_contamination_recall_floor(spark):
+    """Quantitative recall pin (like embedding_neardup's >=0.9): 40
+    planted paraphrase pairs (one token edit on 40-token docs, true
+    shingle jaccard ~0.85) must be recalled at >=0.9 by the default
+    dials (8 hashes x 4 bands, threshold 0.5); measured recall on
+    this corpus is 0.975.  The corpus and hashing are fully
+    deterministic, so the measured recall is a fixed number — this
+    pins the band/hash dials, not luck."""
+    from pyspark.sql import Row
+    from toshi_spark.pipeline.training import fuzzy_contamination
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima",
+             "mike", "november", "oscar", "papa", "quebec", "romeo",
+             "sierra", "tango"]
+    n_pairs = 40
+    evals, trains = [], []
+    for i in range(n_pairs):
+        toks = [words[(i * 7 + j * 3) % len(words)]
+                + str((i * 5 + j) % 13) for j in range(40)]
+        evals.append(Row(doc_id=1000 + i, text=" ".join(toks)))
+        para = list(toks)
+        para[5] = "swapped" + str(i)
+        trains.append(Row(doc_id=i, text=" ".join(para)))
+    docs = spark.createDataFrame(trains)
+    ev = spark.createDataFrame(evals)
+    out = fuzzy_contamination(docs, ev, threshold=0.5).collect()
+    flagged = {(r["doc_id"], r["eval_id"]) for r in out}
+    recall = sum(
+        (i, 1000 + i) in flagged for i in range(n_pairs)
+    ) / n_pairs
+    assert recall >= 0.9, f"recall {recall} over {sorted(flagged)}"
+
+
+def test_fuzzy_contamination_artifact_path_identical(spark):
+    """The precomputed eval artifact must give bit-identical results
+    to the direct eval_docs path."""
+    from pyspark.sql import Row
+    from toshi_spark.pipeline.training import (
+        eval_contamination_artifact,
+        fuzzy_contamination,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "seven wizards brew strong potions at midnight")
+    docs = _docs(spark, [
+        base,
+        base.replace("midnight", "noon"),
+        "completely unrelated text about trains and stations here",
+    ])
+    ev = spark.createDataFrame([Row(doc_id=100, text=base)])
+    direct = sorted(
+        tuple(r) for r in fuzzy_contamination(docs, ev,
+                                              threshold=0.5).collect()
+    )
+    bands, shingles = eval_contamination_artifact(ev)
+    via_artifact = sorted(
+        tuple(r) for r in fuzzy_contamination(
+            docs, eval_artifact=(bands.persist(), shingles.persist()),
+            threshold=0.5,
+        ).collect()
+    )
+    assert direct == via_artifact and len(direct) == 2

@@ -153,9 +153,56 @@ def contamination(
     )
 
 
+def eval_contamination_artifact(
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_k: int = 3,
+    max_eval_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Precompute the eval-side LSH artifact for
+    :func:`fuzzy_contamination`: ``(bands, shingles)`` where ``bands``
+    is the skew-capped (eval_id, band, bucket) table and ``shingles``
+    the (eval_id, _shb) distinct-shingle arrays.
+
+    A benchmark suite is STATIC across a decontamination campaign —
+    one artifact serves every corpus shard and every re-run, so
+    callers should ``persist()`` (or write out) both frames once
+    instead of re-tokenizing/shingling the eval side per call.  Same
+    role as ``ivf_cluster``'s inverted-list artifact for ANN.
+    """
+    from .dedup import (
+        _signatures_from_tokens,
+        band_buckets,
+        shingles_col,
+        tokens_col as dd_tokens_col,
+    )
+
+    ev_toks = eval_docs.select(
+        F.col(id_col).alias("doc_id"),
+        dd_tokens_col(text_col).alias("_toks"),
+    )
+    bands = band_buckets(
+        _signatures_from_tokens(ev_toks, n_hashes, shingle_k),
+        n_hashes, n_bands,
+    ).withColumnRenamed("doc_id", "eval_id")
+    bands = bands.withColumn(
+        "_bn", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("_bn") <= max_eval_bucket).drop("_bn")
+    shingles = ev_toks.select(
+        F.col("doc_id").alias("eval_id"),
+        F.array_distinct(
+            shingles_col(F.col("_toks"), shingle_k)
+        ).alias("_shb"),
+    )
+    return bands, shingles
+
+
 def fuzzy_contamination(
     docs: DataFrame,
-    eval_docs: DataFrame,
+    eval_docs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 8,
@@ -163,6 +210,7 @@ def fuzzy_contamination(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_eval_bucket: int = 1000,
+    eval_artifact: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Doc-level fuzzy decontamination: training docs whose shingle-set
     Jaccard against ANY eval doc reaches ``threshold``, found by
@@ -184,6 +232,12 @@ def fuzzy_contamination(
     Boilerplate eval buckets above ``max_eval_bucket`` are dropped —
     the analogue of lsh_candidate_pairs' skew cap, computed on the
     tiny side only.
+
+    Pass ``eval_artifact`` (from :func:`eval_contamination_artifact`,
+    persisted by the caller) to skip re-deriving the eval side —
+    benchmark suites are static, so a decontamination campaign builds
+    the artifact once and reuses it across corpus shards and re-runs;
+    ``eval_docs`` is then ignored.
     """
     from .dedup import (
         _cut_lineage,
@@ -193,16 +247,23 @@ def fuzzy_contamination(
         tokens_col as dd_tokens_col,
     )
 
-    # each corpus is scanned + tokenized ONCE into a persisted token
-    # table feeding both its signature kernel and its shingle stage
-    # (the minhash_dedup fusion; the unfused form re-ran the dominant
-    # scan+tokenize per stage — measured there as the bulk of the
-    # slowest bench query).  MEMORY_AND_DISK: spills, never OOMs.
+    if eval_artifact is None:
+        if eval_docs is None:
+            raise ValueError("need eval_docs or eval_artifact")
+        eval_b, ev_sh = eval_contamination_artifact(
+            eval_docs, id_col=id_col, text_col=text_col,
+            n_hashes=n_hashes, n_bands=n_bands, shingle_k=shingle_k,
+            max_eval_bucket=max_eval_bucket,
+        )
+    else:
+        eval_b, ev_sh = eval_artifact
+
+    # the train corpus is scanned + tokenized ONCE into a persisted
+    # token table feeding both its signature kernel and its shingle
+    # stage (the minhash_dedup fusion; the unfused form re-ran the
+    # dominant scan+tokenize per stage — measured there as the bulk of
+    # the slowest bench query).  MEMORY_AND_DISK: spills, never OOMs.
     tr_toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        dd_tokens_col(text_col).alias("_toks"),
-    ).persist()
-    ev_toks = eval_docs.select(
         F.col(id_col).alias("doc_id"),
         dd_tokens_col(text_col).alias("_toks"),
     ).persist()
@@ -210,13 +271,6 @@ def fuzzy_contamination(
         _signatures_from_tokens(tr_toks, n_hashes, shingle_k),
         n_hashes, n_bands,
     )
-    eval_b = band_buckets(
-        _signatures_from_tokens(ev_toks, n_hashes, shingle_k),
-        n_hashes, n_bands,
-    ).withColumnRenamed("doc_id", "eval_id")
-    eval_b = eval_b.withColumn(
-        "_bn", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("_bn") <= max_eval_bucket).drop("_bn")
     cand = (
         train_b.join(F.broadcast(eval_b), ["band", "bucket"])
         .select("doc_id", "eval_id")
@@ -234,12 +288,6 @@ def fuzzy_contamination(
             ).alias("_sha"),
         )
     )
-    ev_sh = ev_toks.select(
-        F.col("doc_id").alias("eval_id"),
-        F.array_distinct(
-            shingles_col(F.col("_toks"), shingle_k)
-        ).alias("_shb"),
-    )
     out = (
         cand.join(tr_sh, "doc_id")
         .join(F.broadcast(ev_sh), "eval_id")
@@ -252,12 +300,11 @@ def fuzzy_contamination(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id", "eval_id", F.round("jaccard", 4).alias("jaccard"))
     )
-    # eager materialization so the two token caches can be released
-    # (returning the lazy plan would pin them for the caller's
+    # eager materialization so the token cache can be released
+    # (returning the lazy plan would pin it for the caller's
     # lifetime — the ngram_jaccard_pairs lesson)
     out = _cut_lineage(out)
     tr_toks.unpersist()
-    ev_toks.unpersist()
     return out
 
 
