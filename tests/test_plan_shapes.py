@@ -223,3 +223,21 @@ def test_host_cap_window_carries_no_payload(spark):
     win = plan[plan.index("Window "):]
     exch = win[win.index("Exchange"):win.index("Exchange") + 400]
     assert "payload" not in exch and "url" not in exch
+
+
+def test_text_profile_is_map_only(spark):
+    """The fused profile's whole point: every stat family in ONE scan
+    with zero exchanges (column algebra + one Arrow kernel)."""
+    from toshi_spark.pipeline.textstats import text_profile
+
+    p = _plan(text_profile(_docs(spark)))
+    assert "Exchange" not in p, p
+    assert "MapInArrow" in p or "ArrowEvalPython" in p or "MapPartitions" in p
+
+
+def test_multimodal_pipeline_is_map_only(spark):
+    """Fused multimodal ingest: one Arrow pass, zero exchanges."""
+    from toshi_spark.pipeline.multimodal import multimodal_pipeline
+
+    p = _plan(multimodal_pipeline(_docs(spark)))
+    assert "Exchange" not in p, p

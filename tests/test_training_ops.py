@@ -460,3 +460,70 @@ def test_fuzzy_contamination_artifact_path_identical(spark):
         ).collect()
     )
     assert direct == via_artifact and len(direct) == 2
+
+
+def test_score_thresholds_approx_path_within_rank_error(spark):
+    """Oracle for the crawl-scale sketch path (round-6 stretch): the
+    driver gate pins exact=True (hash equality needs exactness), so
+    the exact=False percentile_approx path gets its own DuckDB-backed
+    attestation here.  percentile_approx guarantees rank error
+    <= 1/accuracy; the assertion brackets Spark's approx threshold
+    between the exact corpus values at ranks (p - eps) and (p + eps),
+    computed independently by DuckDB on the same parquet — a
+    tolerance-banded oracle rather than hash equality."""
+    import duckdb
+    from toshi_spark.pipeline.textstats import quality_score
+    from toshi_spark.pipeline.training import score_thresholds
+
+    sf_dir = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    scored = quality_score(docs, keep_cols=("lang",))
+    accuracy = 1000
+    approx = {
+        r["lang"]: r["threshold"]
+        for r in score_thresholds(
+            scored, keep_rate=0.7, score_col="quality",
+            group_col="lang", keep="upper", exact=False,
+            accuracy=accuracy,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    # exact per-group quality values, recomputed from first principles
+    rows = con.sql("""
+WITH arr AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS a
+  FROM documents
+),
+q AS (
+  SELECT lang, round(
+    (CASE WHEN len(a) BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END)
+    + least(CASE WHEN len(a) > 0 THEN
+        len(list_filter(a, t -> list_contains(
+          ['the','a','of','and','in','to','is','it','that','for'], t)))
+        * 1.0 / len(a) ELSE 0.0 END * 5.0, 0.3)
+    - least(CASE WHEN length(text) > 0 THEN
+        (length(text) - length(regexp_replace(lower(text),
+                                              '[^a-z0-9]', '', 'g')))
+        * 1.0 / length(text) ELSE 0.0 END, 0.2), 4) AS quality
+  FROM arr
+)
+SELECT lang, list_sort(list(quality)) AS vals FROM q GROUP BY lang
+""").fetchall()
+    p, eps = 0.3, 1.0 / accuracy
+    for lang, vals in rows:
+        n = len(vals)
+        lo = vals[max(0, int((p - eps) * n) - 1)]
+        hi = vals[min(n - 1, int((p + eps) * n) + 1)]
+        got = approx[lang]
+        assert lo - 1e-9 <= got <= hi + 1e-9, (
+            f"{lang}: approx {got} outside exact rank band "
+            f"[{lo}, {hi}] (n={n})"
+        )
