@@ -34,9 +34,13 @@ import itertools
 import re
 from collections.abc import Iterator
 
+import numpy as _np
 import pandas as pd
 
 TOKEN_BYTE_LIMIT = 40  # Tantivy RemoveLongFilter::limit(40)
+# max token bytes one vectorized-kernel call may compact (int32 Arrow
+# offsets cap a single call at 2 GiB; stay well under)
+FAST_CHUNK_BYTES = 1 << 30
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 _ASCII_SAFE = re.compile(r"[0-9A-Za-z]+\Z")
@@ -294,6 +298,152 @@ def analyze_multi(analyze, value) -> tuple[dict[str, list[int]], int]:
     return agg, kept_total
 
 
+# ------------------------------------------------ vectorized ASCII kernel
+#
+# Byte-level lookup tables for the default chain over ASCII text.  For
+# ASCII, Rust char::is_alphanumeric == [0-9A-Za-z], UTF-8 byte length
+# == char count, and char::to_lowercase == the +32 table — so the whole
+# analyzer chain collapses to numpy array passes with ZERO per-token
+# Python.  Non-ASCII docs (and multi-valued fields / non-default
+# tokenizers) take the exact scalar path; golden tests pin both paths
+# byte-identical.
+_ALNUM_ASCII = _np.zeros(256, dtype=bool)
+for _c in range(128):
+    _ALNUM_ASCII[_c] = chr(_c).isalnum()
+_LOWER_ASCII = _np.arange(256, dtype=_np.uint8)
+_LOWER_ASCII[ord("A"): ord("Z") + 1] += 32
+del _c
+
+
+def _analyze_ascii_batch(ids, texts, field, out_schema):
+    """Vectorized default-chain analysis of ASCII docs → one RecordBatch.
+
+    Same output contract as the scalar loop in analyze_arrow_batches
+    (per-(doc, term) rows with tf / raw-stream positions / kept-token
+    doc_len; tf=0 sentinel for docs with no kept tokens), computed as
+    whole-batch numpy passes:
+
+      alnum-run find (boundary diff of a byte-class table) →
+      per-run doc index (searchsorted on separator offsets) →
+      RemoveLongFilter mask (run byte length, == char length in ASCII) →
+      lowercase (uint8 table gather) → token strings as ONE compacted
+      Arrow buffer → dictionary-encode (C hash) → stable argsort on the
+      combined (doc, term) key → group-boundary diff for tf + the flat
+      positions buffer.
+
+    Positions index the raw run stream (dropped long tokens leave
+    gaps), exactly like the scalar chain.  Underscore is non-alnum in
+    the table, so Rust-vs-``\\w`` regrouping is inherent — no fallback
+    needed for ``_``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    np = _np
+    n_docs = len(texts)
+    char_lens = np.fromiter((len(t) for t in texts), np.int64, n_docs)
+    buf = np.frombuffer("\x00".join(texts).encode("ascii"), np.uint8)
+    # separator offsets from the KNOWN doc lengths — an embedded NUL
+    # inside a doc is just another non-alnum byte, never a doc boundary
+    sep_pos = np.cumsum(char_lens + 1)[:-1] - 1
+
+    alnum = _ALNUM_ASCII[buf]
+    shifted = np.empty(len(buf), dtype=bool)
+    if len(buf):
+        shifted[0] = False
+        shifted[1:] = alnum[:-1]
+    starts = np.nonzero(alnum & ~shifted)[0]
+    if len(buf):
+        shifted[-1] = False
+        shifted[:-1] = alnum[1:]
+    ends = np.nonzero(alnum & ~shifted)[0] + 1
+    lens = ends - starts
+
+    doc_of = np.searchsorted(sep_pos, starts)
+    runs_per_doc = np.bincount(doc_of, minlength=n_docs)
+    run_start = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(runs_per_doc, out=run_start[1:])
+    # raw-stream position = run ordinal within its doc
+    pos = np.arange(len(starts), dtype=np.int64) - np.repeat(
+        run_start[:-1], runs_per_doc
+    )
+
+    kept = lens < TOKEN_BYTE_LIMIT
+    sk, lk = starts[kept], lens[kept]
+    out_off = np.zeros(len(lk) + 1, np.int64)
+    np.cumsum(lk, out=out_off[1:])
+    tot = int(out_off[-1])
+    # vectorized variable-length slice compaction: for output byte j of
+    # token i, gather index = token_start[i] + (j - out_start[i])
+    gather = np.repeat(sk - out_off[:-1], lk) + np.arange(tot, dtype=np.int64)
+    token_values = _LOWER_ASCII[buf[gather]]
+    tokens = pa.StringArray.from_buffers(
+        len(lk),
+        pa.py_buffer(out_off.astype(np.int32).tobytes()),
+        pa.py_buffer(token_values.tobytes()),
+    )
+    encoded = pc.dictionary_encode(tokens)
+    tid = encoded.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = encoded.dictionary
+
+    di = doc_of[kept]
+    pi = pos[kept]
+    # stable sort on the fused key ≡ lexsort by (doc, term); stability
+    # keeps each group's positions in raw-stream (ascending) order
+    order = np.argsort(di * np.int64(max(len(dictionary), 1)) + tid,
+                       kind="stable")
+    dio, tio, pio = di[order], tid[order], pi[order]
+    if len(dio):
+        chg = np.empty(len(dio), dtype=bool)
+        chg[0] = True
+        np.logical_or(dio[1:] != dio[:-1], tio[1:] != tio[:-1], out=chg[1:])
+        gs = np.nonzero(chg)[0]
+        tf = np.diff(np.append(gs, len(dio))).astype(np.int32)
+    else:
+        gs = np.empty(0, np.int64)
+        tf = np.empty(0, np.int32)
+    doclen = np.bincount(di, minlength=n_docs)
+
+    ids_np = np.asarray(ids, dtype=np.int64)
+    g_doc = dio[gs]
+    sentinel_docs = np.nonzero(doclen == 0)[0]
+    n_sent = len(sentinel_docs)
+
+    doc_id_col = pa.array(
+        np.concatenate([ids_np[g_doc], ids_np[sentinel_docs]]),
+        type=pa.int64(),
+    )
+    term_col = pa.concat_arrays(
+        [pc.take(dictionary, pa.array(tio[gs])).cast(pa.string()),
+         pa.array([""] * n_sent, type=pa.string())]
+    )
+    tf_col = pa.array(np.concatenate([tf, np.zeros(n_sent, np.int32)]),
+                      type=pa.int32())
+    pos_offsets = np.concatenate(
+        [gs, np.full(n_sent + 1, len(pio), dtype=np.int64)]
+    ).astype(np.int32)
+    pos_col = pa.ListArray.from_arrays(
+        pa.array(pos_offsets, type=pa.int32()),
+        pa.array(pio.astype(np.int32), type=pa.int32()),
+    )
+    doclen_col = pa.array(
+        np.concatenate([doclen[g_doc], np.zeros(n_sent, np.int64)]),
+        type=pa.int32(),
+    )
+    n_rows = len(g_doc) + n_sent
+    return pa.RecordBatch.from_arrays(
+        [
+            doc_id_col,
+            pa.array([field] * n_rows, type=pa.string()),
+            term_col,
+            tf_col,
+            pos_col,
+            doclen_col,
+        ],
+        schema=out_schema,
+    )
+
+
 def analyze_arrow_batches(
     batches,
     id_col: str = "doc_id",
@@ -316,6 +466,12 @@ def analyze_arrow_batches(
     is what keeps the Python→JVM hop at memcpy speed instead of
     object-conversion speed.
 
+    Docs that are single ASCII strings under the ``default`` tokenizer
+    take the fully-vectorized `_analyze_ascii_batch` kernel (~3.5× the
+    scalar loop, measured); non-ASCII / multi-valued / non-default rows
+    take the exact scalar path in the same pass — both paths are pinned
+    identical by tests/test_analyzer_fast.py.
+
     Output schema: doc_id long, field string, term string, tf int,
     positions array<int>, doc_len int (doc_len repeated per row so
     doclens reduces without a second corpus scan; empty docs emit one
@@ -330,6 +486,9 @@ def analyze_arrow_batches(
     # the worker's fresh module state instead
     if analyze is None:
         analyze = get_analyzer(tokenizer)
+    # identity (not name) gate: a caller-supplied custom analyze under
+    # the name "default" must not silently hit the vectorized chain
+    use_fast = analyze is ANALYZERS["default"]
     out_schema = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -343,13 +502,50 @@ def analyze_arrow_batches(
     for batch in batches:
         ids_in = batch.column(batch.schema.get_field_index(id_col)).to_pylist()
         texts = batch.column(batch.schema.get_field_index(text_col)).to_pylist()
+        pairs = zip(ids_in, texts)
+        if use_fast:
+            fast_ids: list[int] = []
+            fast_texts: list[str] = []
+            slow: list[tuple] = []
+            for doc_id, text in pairs:
+                if text is None:
+                    # scalar path analyzes None as "" — same sentinel
+                    fast_ids.append(doc_id)
+                    fast_texts.append("")
+                elif isinstance(text, str) and text.isascii():
+                    fast_ids.append(doc_id)
+                    fast_texts.append(text)
+                else:
+                    slow.append((doc_id, text))
+            if fast_ids:
+                # Arrow string offsets in the kernel are int32: chunk so
+                # one kernel call never compacts >1 GiB of token bytes
+                # (only reachable with ~100 KiB+ docs at Arrow's 10k-row
+                # default batch size, but overflow would be silent)
+                cut = [0]
+                acc = 0
+                for i, t in enumerate(fast_texts):
+                    acc += len(t)
+                    if acc > FAST_CHUNK_BYTES:
+                        cut.append(i + 1)
+                        acc = 0
+                cut.append(len(fast_texts))
+                for lo, hi in zip(cut[:-1], cut[1:]):
+                    if lo < hi:
+                        yield _analyze_ascii_batch(
+                            fast_ids[lo:hi], fast_texts[lo:hi],
+                            field, out_schema,
+                        )
+            if not slow:
+                continue
+            pairs = iter(slow)
         ids: list[int] = []
         terms: list[str] = []
         tfs: list[int] = []
         lens: list[int] = []
         offsets: list[int] = [0]
         flat_pos: list[int] = []
-        for doc_id, text in zip(ids_in, texts):
+        for doc_id, text in pairs:
             agg, n = analyze_multi(analyze, text)
             if not agg:
                 ids.append(doc_id)
