@@ -2922,16 +2922,29 @@ def q_assemble_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         aug, _eval_ngrams_df(load_documents(spark, sf_dir)), n=_CONTAM_N
     )
     keep_c = contam.filter(~F.col("contaminated")).select("doc_id")
+    # Materialize the filtered corpus ONCE: downstream, dsir_weights
+    # scans it three times (corpus featurize, target featurize, score)
+    # and pack_sequences twice (partition totals, final map) — without
+    # the persist every scan re-runs the gopher/contamination/cluster
+    # keep-list builds.  At crawl scale this is the standard
+    # phase-boundary checkpoint (you'd write selected to parquet
+    # between filter and mixture phases); Spark's ContextCleaner
+    # reclaims the block once the returned frame is unreferenced.
     selected = (
         aug.join(F.broadcast(keep_g), "doc_id")
         .join(F.broadcast(drop_dup), "doc_id", "left_anti")
         .join(F.broadcast(keep_c), "doc_id")
-    )
+    ).persist()
     target = selected.filter(F.col("doc_id") % _DSIR_EVERY == 0)
     w = dsir_weights(selected, target, n_buckets=_DSIR_B)
-    pick = dsir_resample(w, k=_ATM_K).select(
+    # The resample is a TakeOrdered: ≤k rows by construction, k fixed
+    # (100) regardless of corpus size.  Land them on the driver and
+    # re-create the frame so the two consumers below (chosen filter +
+    # final attribute join) don't each re-execute the DSIR chain.
+    pick_df = dsir_resample(w, k=_ATM_K).select(
         "doc_id", "log_weight", "gumbel_key"
     )
+    pick = spark.createDataFrame(pick_df.collect(), schema=pick_df.schema)
     chosen = selected.join(F.broadcast(pick.select("doc_id")), "doc_id")
     packed = pack_sequences(chosen, seq_len=64)
     return packed.join(F.broadcast(pick), "doc_id").select(
