@@ -422,3 +422,64 @@ def test_ivf_recall_on_clustered_data_and_lloyd_dial(spark):
     a3, c3 = index3
     assert a3.count() == len(rows)
     assert recall(4, index3) >= 0.9
+
+
+def test_profile_kernel_matches_column_forms(spark):
+    """The add_profile_stats Arrow kernel is an optimization of the
+    pure-column folds (entropy_cols / simhash_col / repetition_cols /
+    add_fingerprint) — every emitted value must equal the column
+    forms' output after the same rounding, across the edge cases:
+    empty text, single token, all-duplicate tokens, repeated lines,
+    unicode (non-ASCII separators), text shorter than the fingerprint
+    gram, and None-ish whitespace-only docs."""
+    from pyspark.sql import functions as F
+
+    from toshi_spark.pipeline.dedup import simhash_col
+    from toshi_spark.pipeline.textstats import (
+        entropy_cols,
+        fingerprint,
+        repetition_cols,
+        text_profile,
+        tokens_col,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat the cat"),
+        (1, ""),
+        (2, "x"),
+        (3, "dup dup dup dup dup"),
+        (4, "line one\nline one\nline one\n\n  \nline two"),
+        (5, "héllo wörld — héllo wörld – naïve café"),
+        (6, "ab"),
+        (7, "  \n  \n"),
+        (8, "a b " * 400 + "tail token"),
+        (9, "Mixed CASE Tokens 123 mixed case TOKENS 123"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    prof = {
+        r.doc_id: r for r in text_profile(docs, simhash_bits=16).collect()
+    }
+    toks = tokens_col("text")
+    nt, ttr, ent = entropy_cols(toks)
+    dup, bg = repetition_cols("text")
+    ref = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            dup.alias("dup_line_frac"), bg.alias("top_bigram_frac"),
+            nt.alias("n_types"), F.round(ttr, 4).alias("ttr"),
+            F.round(ent, 4).alias("entropy"),
+            simhash_col(toks, bits=16).alias("simhash"),
+        ).collect()
+    }
+    fp = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    assert set(prof) == set(ref)
+    for k, p in prof.items():
+        e = ref[k]
+        assert (
+            p.dup_line_frac, p.top_bigram_frac, p.n_types, p.ttr,
+            p.entropy, p.simhash, p.fingerprint,
+        ) == (
+            e.dup_line_frac, e.top_bigram_frac, e.n_types, e.ttr,
+            e.entropy, e.simhash, fp[k],
+        ), f"doc {k}"

@@ -168,6 +168,158 @@ def add_fingerprint(df: DataFrame, text_col: str = "text",
     return df.mapInArrow(kern, out_schema)
 
 
+def add_profile_stats(df: DataFrame, text_col: str = "text",
+                      toks_col: str = "_toks", bits: int = 16,
+                      gram: int = 8) -> DataFrame:
+    """Fused Arrow kernel for the per-token-heavy profile stats: one
+    ``mapInArrow`` pass emitting fingerprint, n_types / raw TTR / raw
+    entropy, SimHash, and raw repetition fractions.  ``text_col`` and
+    ``toks_col`` are CONSUMED; every other column passes through.
+
+    Why a kernel: these four families fold per TOKEN, and Spark
+    evaluates higher-order-function lambdas interpreted (never
+    whole-stage codegen), so the pure-column forms cost ~0.3 ms/doc
+    each (measured: repetition 1.6 s, entropy 1.25 s, simhash 1.1 s
+    for 5k docs at sf0.1 — vs 0.4 s for ALL the regexp/count stats
+    together).  Same design as the analyzer's vectorized kernel: the
+    slow per-element path moves to numpy/hashlib inside the one Arrow
+    pass the profile already pays for the fingerprint.
+
+    Semantics mirror the column forms exactly (those remain the
+    reference implementations, used by the standalone operators and
+    pinned against this kernel by tests):
+
+    - tokens arrive PRE-COMPUTED from the JVM (``tokens_col``), so
+      lower/split semantics cannot diverge between engines;
+    - simhash: md5-first-8-hex per token, per-bit majority over raw
+      occurrences (integer-exact, same as ``simhash_col``);
+    - entropy: run contributions ``c·log2(c)`` accumulated
+      SEQUENTIALLY in sorted-token order like the fold (ulp-level
+      float divergence is absorbed by the caller's ``F.round(…, 4)``,
+      the same tolerance the DuckDB oracle already exercises);
+    - repetition: trimmed-non-empty line distinct fraction (Spark
+      ``trim`` = strip 0x20 only) and max-bigram multiplicity;
+    - ratios are emitted RAW; the caller applies the identical
+      ``F.round`` JVM-side so rounding is unchanged.
+    """
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    kernel = np.empty(gram, dtype=np.int64)
+    kernel[gram - 1] = 1
+    for t in range(gram - 2, -1, -1):
+        kernel[t] = (kernel[t + 1] * FP_BASE) % FP_MOD
+
+    in_fields = df.schema.fields
+    names = [f.name for f in in_fields]
+    text_idx = names.index(text_col)
+    toks_idx = names.index(toks_col)
+    drop = {text_idx, toks_idx}
+    out_names = [f.name for i, f in enumerate(in_fields) if i not in drop]
+    extra = ["fingerprint", "n_types", "ttr_raw", "entropy_raw",
+             "simhash", "dup_line_raw", "top_bigram_raw"]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for i, f in enumerate(in_fields) if i not in drop
+    ) + (", fingerprint long, n_types long, ttr_raw double,"
+         " entropy_raw double, simhash long, dup_line_raw double,"
+         " top_bigram_raw double")
+
+    from hashlib import md5 as _md5
+
+    def kern(batches):
+        pad = np.zeros(gram - 1, dtype=np.uint8)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            n_rows = b.num_rows
+            fp = np.zeros(n_rows, dtype=np.int64)
+            n_types = np.zeros(n_rows, dtype=np.int64)
+            ttr = np.zeros(n_rows, dtype=np.float64)
+            ent = np.zeros(n_rows, dtype=np.float64)
+            sig = np.zeros(n_rows, dtype=np.int64)
+            dup_line = np.zeros(n_rows, dtype=np.float64)
+            top_bg = np.zeros(n_rows, dtype=np.float64)
+            texts = b.column(text_idx).to_pylist()
+            toks_all = b.column(toks_idx).to_pylist()
+            for r in range(n_rows):
+                s = texts[r] or ""
+                toks = toks_all[r] or []
+                # fingerprint (identical to add_fingerprint's kernel)
+                bs = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+                if bs.size:
+                    padded = np.concatenate([bs, pad])
+                    w = np.lib.stride_tricks.sliding_window_view(
+                        padded, gram
+                    )[: max(bs.size - gram + 1, 1)]
+                    fp[r] = ((w.astype(np.int64) @ kernel) % FP_MOD).min()
+                n = len(toks)
+                if n:
+                    # entropy/TTR: sequential fold in sorted-run order
+                    uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                             return_counts=True)
+                    n_types[r] = uniq.size
+                    ttr[r] = uniq.size / n
+                    clogc = 0.0
+                    for c in counts:
+                        c = float(c)
+                        clogc += c * math.log2(c)
+                    ent[r] = math.log2(n) - clogc / n
+                    # simhash: tf-weighted per-bit counts over the
+                    # DISTINCT tokens (≡ per-occurrence counts, the
+                    # same identity simhash_col uses) — one md5 per
+                    # type, bit tests vectorized
+                    hs = np.fromiter(
+                        (int(_md5(u.encode("utf-8")).hexdigest()[:8], 16)
+                         for u in uniq),
+                        dtype=np.int64, count=uniq.size,
+                    )
+                    bitc = (
+                        ((hs[:, None] >> np.arange(bits)) & 1)
+                        * counts[:, None]
+                    ).sum(axis=0)
+                    sig[r] = int(
+                        ((2 * bitc > n).astype(np.int64)
+                         << np.arange(bits)).sum()
+                    )
+                # repetition: lines (trim = 0x20 only, like Spark trim)
+                lines = [ln.strip(" ") for ln in s.split("\n")]
+                lines = [ln for ln in lines if ln != ""]
+                if lines:
+                    dup_line[r] = 1.0 - len(set(lines)) / len(lines)
+                if n >= 2:
+                    bg: dict[tuple, int] = {}
+                    best = 0
+                    prev = toks[0]
+                    for t in toks[1:]:
+                        key = (prev, t)
+                        c2 = bg.get(key, 0) + 1
+                        bg[key] = c2
+                        if c2 > best:
+                            best = c2
+                        prev = t
+                    top_bg[r] = best / (n - 1)
+            passthrough = [
+                b.column(i) for i in range(b.num_columns) if i not in drop
+            ]
+            yield pa.RecordBatch.from_arrays(
+                passthrough + [
+                    pa.array(fp, type=pa.int64()),
+                    pa.array(n_types, type=pa.int64()),
+                    pa.array(ttr, type=pa.float64()),
+                    pa.array(ent, type=pa.float64()),
+                    pa.array(sig, type=pa.int64()),
+                    pa.array(dup_line, type=pa.float64()),
+                    pa.array(top_bg, type=pa.float64()),
+                ],
+                names=out_names + extra,
+            )
+
+    return df.mapInArrow(kern, out_schema)
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text", gram: int = 8) -> DataFrame:
     """Content fingerprint → (doc_id, fingerprint); see add_fingerprint."""
@@ -527,15 +679,20 @@ def text_profile(
     entropy + TTR, SimHash signature, and the rolling-hash content
     fingerprint.
 
-    Everything except the fingerprint is JVM column algebra evaluated
-    in a single projection (whole-stage codegen with subexpression
-    elimination, so the token array is computed once per row, not once
-    per stat); the fingerprint rides ``add_fingerprint``'s Arrow
-    kernel, which consumes the text bytes and passes the already-
-    computed stats through.  Map-only, zero exchanges — at 100 TB this
-    replaces seven separate scans of the corpus (one per stat family)
-    with one, which is the difference between a profile job and seven
-    profile jobs.
+    The cheap regexp/count stats are JVM column algebra; the four
+    per-token-fold families (repetition, entropy/TTR, SimHash,
+    fingerprint) ride ONE ``add_profile_stats`` Arrow kernel — Spark
+    evaluates higher-order lambdas interpreted, so their pure-column
+    forms cost ~0.3 ms/doc each (measured 4.1 s of this query's 4.9 s
+    at sf0.1), while the fused numpy pass does the same folds in the
+    Arrow transfer the fingerprint already pays.  The JVM computes the
+    token array ONCE and ships it, so tokenizer semantics cannot
+    diverge; the kernel emits raw ratios and the final projection
+    applies the same ``F.round`` as the column forms (which remain the
+    reference implementations, kernel-vs-column pinned by pytest).
+    Map-only, zero exchanges — at 100 TB this replaces seven separate
+    scans of the corpus (one per stat family) with one, which is the
+    difference between a profile job and seven profile jobs.
 
     Returns (doc_id, n_ws, n_tokens, n_bpe, en_ratio, pred,
     mean_tok_len, stop_ratio, punct_ratio, digit_ratio, quality,
@@ -569,11 +726,10 @@ def text_profile(
         + F.least(stop_ratio * F.lit(5.0), F.lit(0.3))
         - F.least(punct_ratio, F.lit(0.2))
     )
-    dup_line_frac, top_bigram_frac = repetition_cols(text_col)
-    n_types, ttr, ent = entropy_cols(toks)
     stats = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col),
+        toks.alias("_toks"),
         F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("n_ws"),
         n_tokens.cast("long").alias("n_tokens"),
         F.size(
@@ -588,11 +744,17 @@ def text_profile(
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(digit_ratio, 4).alias("digit_ratio"),
         F.round(score, 4).alias("quality"),
-        dup_line_frac.alias("dup_line_frac"),
-        top_bigram_frac.alias("top_bigram_frac"),
-        n_types.alias("n_types"),
-        F.round(ttr, 4).alias("ttr"),
-        F.round(ent, 4).alias("entropy"),
-        simhash_col(toks, bits=simhash_bits).alias("simhash"),
     )
-    return add_fingerprint(stats, text_col=text_col)
+    out = add_profile_stats(stats, text_col=text_col, toks_col="_toks",
+                            bits=simhash_bits)
+    return out.select(
+        "doc_id", "n_ws", "n_tokens", "n_bpe", "en_ratio", "pred",
+        "mean_tok_len", "stop_ratio", "punct_ratio", "digit_ratio",
+        "quality",
+        F.round("dup_line_raw", 4).alias("dup_line_frac"),
+        F.round("top_bigram_raw", 4).alias("top_bigram_frac"),
+        "n_types",
+        F.round("ttr_raw", 4).alias("ttr"),
+        F.round("entropy_raw", 4).alias("entropy"),
+        "simhash", "fingerprint",
+    )
