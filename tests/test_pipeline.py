@@ -483,3 +483,63 @@ def test_profile_kernel_matches_column_forms(spark):
             e.dup_line_frac, e.top_bigram_frac, e.n_types, e.ttr,
             e.entropy, e.simhash, fp[k],
         ), f"doc {k}"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(
+                alphabet=st.characters(min_codepoint=1, max_codepoint=127),
+                max_size=200,
+            ),
+            st.text(max_size=80),  # arbitrary unicode
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_profile_kernel_fuzz_matches_column_forms(spark, texts):
+    """Hypothesis fuzz: add_profile_stats vs the pure-column reference
+    on arbitrary text (ASCII + unicode).  Tokens are computed JVM-side
+    in both paths, so this exercises the kernel's Python-side line
+    handling, entropy/simhash folds, and fingerprint byte hashing."""
+    from pyspark.sql import functions as F
+
+    from toshi_spark.pipeline.dedup import simhash_col
+    from toshi_spark.pipeline.textstats import (
+        entropy_cols,
+        fingerprint,
+        repetition_cols,
+        text_profile,
+        tokens_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    prof = {
+        r.doc_id: (r.dup_line_frac, r.top_bigram_frac, r.n_types, r.ttr,
+                   r.entropy, r.simhash, r.fingerprint)
+        for r in text_profile(docs, simhash_bits=16).collect()
+    }
+    toks = tokens_col("text")
+    nt, ttr, ent = entropy_cols(toks)
+    dup, bg = repetition_cols("text")
+    fp = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    ref = {
+        r.doc_id: (r.dup_line_frac, r.top_bigram_frac, r.n_types, r.ttr,
+                   r.entropy, r.simhash, fp[r.doc_id])
+        for r in docs.select(
+            "doc_id",
+            dup.alias("dup_line_frac"), bg.alias("top_bigram_frac"),
+            nt.alias("n_types"), F.round(ttr, 4).alias("ttr"),
+            F.round(ent, 4).alias("entropy"),
+            simhash_col(toks, bits=16).alias("simhash"),
+        ).collect()
+    }
+    assert prof == ref
