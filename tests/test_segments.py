@@ -393,6 +393,13 @@ def test_regex_prefix_extraction():
     assert p(".*x") == ""
     assert p("foo{2}") == "fo"
     assert p("\\d+") == ""
+    # alternation: the scanned literal only prefixes the FIRST branch,
+    # so a range pushdown would wrongly exclude the others ("w2", "w3"
+    # here) — no prefix at all (golden query regex_alternation pins
+    # the end-to-end behavior)
+    assert p("w1|w2|w3") == ""
+    assert p("foo|bar") == ""
+    assert p("ab\\|cd") == ""  # conservative: escaped pipe also opts out
 
 
 def test_open_without_rowstore_serves_nulls(spark, corpus, tmp_path_factory):

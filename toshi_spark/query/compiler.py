@@ -442,8 +442,14 @@ def _regex_literal_prefix(pattern: str) -> str:
 
     Conservative: stops at the first metacharacter and drops the last
     literal char if the NEXT token could make it optional/repeated
-    (e.g. "ab?" must not assume 'b').
+    (e.g. "ab?" must not assume 'b').  A pattern containing '|'
+    anywhere gets NO prefix: a top-level alternation means the scanned
+    literal only prefixes the FIRST branch ("w1|w2|w3" must still
+    match w2), and distinguishing top-level from grouped pipes isn't
+    worth the parse — the pushdown is an optimization, never a filter.
     """
+    if "|" in pattern:
+        return ""
     out: list[str] = []
     i = 0
     n = len(pattern)
