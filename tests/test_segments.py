@@ -506,3 +506,38 @@ def test_open_issues_o1_jobs_per_table_not_per_segment(spark, tmp_path):
         spark.conf.set(
             "spark.sql.sources.parallelPartitionDiscovery.threshold", old
         )
+
+
+def test_build_report_totals_and_skew(spark, corpus, tmp_path_factory):
+    """build_report aggregates the manifest + per-partition lineage
+    into one driver-side audit: totals match the manifest, every
+    segment reports its partition count, and the skew ratio is
+    max/mean over per-partition postings."""
+    from toshi_spark.index.segments import (
+        Manifest,
+        build_report,
+        build_segments,
+    )
+
+    idx_dir = str(tmp_path_factory.mktemp("ix_report"))
+    build_segments(spark, corpus, idx_dir, n_chunks=2,
+                   index_name="rep", fingerprint="f")
+    entries = Manifest(idx_dir).entries()
+    rep = build_report(idx_dir)
+    assert rep["segments"] == len(entries) == 2
+    assert rep["docs"] == sum(e.docs for e in entries)
+    assert rep["postings"] == sum(e.postings for e in entries)
+    assert rep["bytes"] == sum(e.bytes for e in entries)
+    assert all(s["n_partitions"] >= 1 for s in rep["per_segment"])
+    sk = rep["partition_skew"]
+    assert sk["partitions"] == sum(
+        s["n_partitions"] for s in rep["per_segment"]
+    )
+    assert sk["max_postings"] >= sk["mean_postings"] > 0
+    assert sk["skew_ratio"] >= 1.0
+    # no Spark jobs: driver-side read of manifest + jsonl only
+    sc = spark.sparkContext
+    sc.setJobGroup("reportpin", "reportpin")
+    build_report(idx_dir)
+    sc.setJobGroup("after_reportpin", "")
+    assert len(sc.statusTracker().getJobIdsForGroup("reportpin")) == 0

@@ -468,6 +468,61 @@ def migrate_stale_segments(
     return [e.segment_id for e in new_entries]
 
 
+def build_report(index_dir: str) -> dict:
+    """Consolidated build audit from the committed manifest plus each
+    segment's per-partition lineage metrics (``_metrics.jsonl``) —
+    the read side of the north-star checkpoint contract: every
+    indexing stage records docs/terms/postings/bytes, so an operator
+    can answer "what did this build write, and was it skewed?"
+    without touching the data files.
+
+    Driver-side only (manifest + one small jsonl per segment — no
+    Spark jobs), so it's safe to call from monitoring at any scale.
+
+    Returns totals (segments/docs/terms/postings/bytes), per-segment
+    rows, and a partition-skew audit over the postings layout:
+    ``max_partition_postings / mean`` — the number a salting change
+    should move (head-term stripes land here first).
+    """
+    entries = Manifest(index_dir).entries()
+    per_segment = []
+    part_counts: list[int] = []
+    for e in entries:
+        seg = {
+            "segment_id": e.segment_id,
+            "docs": e.docs,
+            "terms": e.terms,
+            "postings": e.postings,
+            "bytes": e.bytes,
+            "committed_at": e.committed_at,
+        }
+        mpath = os.path.join(index_dir, "segments", e.segment_id,
+                             "_metrics.jsonl")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                parts = [json.loads(ln) for ln in f if ln.strip()]
+            seg["n_partitions"] = len(parts)
+            part_counts.extend(p["postings"] for p in parts)
+        per_segment.append(seg)
+    report = {
+        "segments": len(entries),
+        "docs": sum(e.docs for e in entries),
+        "terms": sum(e.terms for e in entries),
+        "postings": sum(e.postings for e in entries),
+        "bytes": sum(e.bytes for e in entries),
+        "per_segment": per_segment,
+    }
+    if part_counts:
+        mean = sum(part_counts) / len(part_counts)
+        report["partition_skew"] = {
+            "partitions": len(part_counts),
+            "max_postings": max(part_counts),
+            "mean_postings": round(mean, 1),
+            "skew_ratio": round(max(part_counts) / mean, 2) if mean else 0.0,
+        }
+    return report
+
+
 def open_segmented_tables(spark: SparkSession, index_dir: str) -> IndexTables:
     """Read the union of committed segments as one logical index.
 
