@@ -423,13 +423,19 @@ PII_PATTERNS: dict[str, str] = {
 
 
 def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Detect and redact PII-shaped spans: per-kind match counts plus
     the text with each span replaced by a typed placeholder.
 
     Pure regexp column algebra — map-only, fuses into the source scan
     at crawl scale.  Emails are redacted FIRST (an email contains a
     dot-separated host that the looser patterns must not see).
+
+    ``passthrough`` names input columns to carry into the output so a
+    pipeline can consume the scrub AND its input text from ONE branch
+    instead of joining two branches that each recompute the upstream
+    chain (see q_webtext_clean).
     """
     counts = [
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
@@ -440,7 +446,7 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
     for kind, pat in PII_PATTERNS.items():
         redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
     return docs.select(
-        F.col(id_col).alias("doc_id"), *counts,
+        F.col(id_col).alias("doc_id"), *passthrough, *counts,
         redacted.alias("redacted"),
     )
 

@@ -2768,12 +2768,21 @@ def q_webtext_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("page id "), F.col("doc_id").cast("string")),
         ).alias("text"),
     )
+    # lined (synth html + canon + extraction regexes) feeds THREE
+    # consumers — its own hash branch, the boilerplate-lexicon agg,
+    # and the strip stage; materialize it once (the phase-boundary
+    # persist a crawl pipeline would write out) instead of paying the
+    # extraction chain per consumer.
+    lined = lined.persist()
     bp = boilerplate_lines(lined, min_docs=100)
     cleaned = strip_boilerplate(lined, bp)
-    scrubbed = pii_scrub(cleaned, text_col="clean")
+    # scrub passes `clean` through, so the cleaned->scrubbed chain is
+    # ONE branch — the old (lined ⋈ cleaned ⋈ scrubbed) three-way re-
+    # executed the boilerplate shuffle twice and the extraction 4x
+    scrubbed = pii_scrub(cleaned, text_col="clean",
+                         passthrough=("clean",))
     return (
-        lined.join(cleaned, "doc_id")
-        .join(scrubbed, "doc_id")
+        lined.join(scrubbed, "doc_id")
         .select(
             "doc_id", "scheme", "host", "path", "query_sorted",
             "canonical_url",
