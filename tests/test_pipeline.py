@@ -454,8 +454,9 @@ def test_profile_kernel_matches_column_forms(spark):
         (7, "  \n  \n"),
         (8, "a b " * 400 + "tail token"),
         (9, "Mixed CASE Tokens 123 mixed case TOKENS 123"),
+        (10, None),  # NULL text: n_types NULL, everything else 0
     ]
-    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
     prof = {
         r.doc_id: r for r in text_profile(docs, simhash_bits=16).collect()
     }
@@ -478,11 +479,18 @@ def test_profile_kernel_matches_column_forms(spark):
         e = ref[k]
         assert (
             p.dup_line_frac, p.top_bigram_frac, p.n_types, p.ttr,
-            p.entropy, p.simhash, p.fingerprint,
+            p.simhash, p.fingerprint,
         ) == (
             e.dup_line_frac, e.top_bigram_frac, e.n_types, e.ttr,
-            e.entropy, e.simhash, fp[k],
+            e.simhash, fp[k],
         ), f"doc {k}"
+        # entropy: kernel folds with C math.log2, column with JVM
+        # log2 — a ≤1-ulp difference at a x.xxxx5 boundary can flip
+        # the 4-dp round, so compare at the rounding granularity
+        if p.entropy is None or e.entropy is None:
+            assert p.entropy == e.entropy, f"doc {k}"
+        else:
+            assert abs(p.entropy - e.entropy) <= 1e-4, f"doc {k}"
 
 
 from hypothesis import given, settings
@@ -542,4 +550,13 @@ def test_profile_kernel_fuzz_matches_column_forms(spark, texts):
             simhash_col(toks, bits=16).alias("simhash"),
         ).collect()
     }
-    assert prof == ref
+    assert set(prof) == set(ref)
+    for k in prof:
+        # entropy (index 4) at rounding tolerance — C vs JVM log2 can
+        # differ by an ulp at a x.xxxx5 round boundary
+        assert prof[k][:4] == ref[k][:4] and prof[k][5:] == ref[k][5:], k
+        pe, re_ = prof[k][4], ref[k][4]
+        if pe is None or re_ is None:
+            assert pe == re_, k
+        else:
+            assert abs(pe - re_) <= 1e-4, k

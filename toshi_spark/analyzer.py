@@ -512,7 +512,11 @@ def analyze_arrow_batches(
                     # scalar path analyzes None as "" — same sentinel
                     fast_ids.append(doc_id)
                     fast_texts.append("")
-                elif isinstance(text, str) and text.isascii():
+                elif (isinstance(text, str) and text.isascii()
+                      and len(text) <= FAST_CHUNK_BYTES):
+                    # a single doc larger than the chunk budget could
+                    # overflow the kernel's int32 Arrow offsets on its
+                    # own — route it to the exact scalar path instead
                     fast_ids.append(doc_id)
                     fast_texts.append(text)
                 else:
@@ -522,13 +526,18 @@ def analyze_arrow_batches(
                 # one kernel call never compacts >1 GiB of token bytes
                 # (only reachable with ~100 KiB+ docs at Arrow's 10k-row
                 # default batch size, but overflow would be silent)
+                # cut BEFORE the doc that would overflow, so a chunk's
+                # token bytes (≤ its text bytes) never exceed the
+                # budget — int32 offsets hold because
+                # FAST_CHUNK_BYTES < 2**31 and oversized single docs
+                # were routed to the scalar path above
                 cut = [0]
                 acc = 0
                 for i, t in enumerate(fast_texts):
-                    acc += len(t)
-                    if acc > FAST_CHUNK_BYTES:
-                        cut.append(i + 1)
+                    if acc + len(t) > FAST_CHUNK_BYTES and acc:
+                        cut.append(i)
                         acc = 0
+                    acc += len(t)
                 cut.append(len(fast_texts))
                 for lo, hi in zip(cut[:-1], cut[1:]):
                     if lo < hi:

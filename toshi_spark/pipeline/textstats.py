@@ -200,7 +200,10 @@ def add_profile_stats(df: DataFrame, text_col: str = "text",
     - repetition: trimmed-non-empty line distinct fraction (Spark
       ``trim`` = strip 0x20 only) and max-bigram multiplicity;
     - ratios are emitted RAW; the caller applies the identical
-      ``F.round`` JVM-side so rounding is unchanged.
+      ``F.round`` JVM-side so rounding is unchanged;
+    - NULL text (hence a NULL token array from the JVM) → n_types is
+      NULL, matching entropy_cols' aggregate over a null array; every
+      other stat falls through its ``when()`` to 0.0 in both forms.
     """
     import math
 
@@ -237,6 +240,11 @@ def add_profile_stats(df: DataFrame, text_col: str = "text",
             n_rows = b.num_rows
             fp = np.zeros(n_rows, dtype=np.int64)
             n_types = np.zeros(n_rows, dtype=np.int64)
+            # NULL text → NULL token array JVM-side; entropy_cols'
+            # fold over a null array yields n_types=NULL (every other
+            # stat falls through a when() to its 0 default).  Mirror
+            # that exactly: mask n_types where toks is null.
+            nt_null = np.zeros(n_rows, dtype=bool)
             ttr = np.zeros(n_rows, dtype=np.float64)
             ent = np.zeros(n_rows, dtype=np.float64)
             sig = np.zeros(n_rows, dtype=np.int64)
@@ -246,6 +254,8 @@ def add_profile_stats(df: DataFrame, text_col: str = "text",
             toks_all = b.column(toks_idx).to_pylist()
             for r in range(n_rows):
                 s = texts[r] or ""
+                if toks_all[r] is None:
+                    nt_null[r] = True
                 toks = toks_all[r] or []
                 # fingerprint (identical to add_fingerprint's kernel)
                 bs = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
@@ -307,7 +317,8 @@ def add_profile_stats(df: DataFrame, text_col: str = "text",
             yield pa.RecordBatch.from_arrays(
                 passthrough + [
                     pa.array(fp, type=pa.int64()),
-                    pa.array(n_types, type=pa.int64()),
+                    pa.array(n_types, type=pa.int64(),
+                             mask=nt_null if nt_null.any() else None),
                     pa.array(ttr, type=pa.float64()),
                     pa.array(ent, type=pa.float64()),
                     pa.array(sig, type=pa.int64()),

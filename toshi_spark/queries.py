@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .checkpoint import phase_checkpoint
 from .engine import FullTextIndex
 from .index.builder import build_index
 from .query.dsl import parse_search
@@ -2770,10 +2771,13 @@ def q_webtext_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # lined (synth html + canon + extraction regexes) feeds THREE
     # consumers — its own hash branch, the boilerplate-lexicon agg,
-    # and the strip stage; materialize it once (the phase-boundary
-    # persist a crawl pipeline would write out) instead of paying the
-    # extraction chain per consumer.
-    lined = lined.persist()
+    # and the strip stage; materialize it once instead of paying the
+    # extraction chain per consumer.  phase_checkpoint: parquet when
+    # TOSHI_SPARK_CHECKPOINT_DIR is set (crawl scale), else an eager
+    # localCheckpoint whose blocks the ContextCleaner reclaims once
+    # this frame is unreferenced (a .persist() entry would live in
+    # CacheManager forever and leak across repeated invocations).
+    lined = phase_checkpoint(lined, "webtext_lined")
     bp = boilerplate_lines(lined, min_docs=100)
     cleaned = strip_boilerplate(lined, bp)
     # scrub passes `clean` through, so the cleaned->scrubbed chain is
@@ -2934,16 +2938,17 @@ def q_assemble_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the filtered corpus ONCE: downstream, dsir_weights
     # scans it three times (corpus featurize, target featurize, score)
     # and pack_sequences twice (partition totals, final map) — without
-    # the persist every scan re-runs the gopher/contamination/cluster
-    # keep-list builds.  At crawl scale this is the standard
-    # phase-boundary checkpoint (you'd write selected to parquet
-    # between filter and mixture phases); Spark's ContextCleaner
-    # reclaims the block once the returned frame is unreferenced.
-    selected = (
+    # the materialization every scan re-runs the gopher/contamination/
+    # cluster keep-list builds.  phase_checkpoint: parquet under
+    # TOSHI_SPARK_CHECKPOINT_DIR at crawl scale (the filter→mixture
+    # phase artifact), else an eager localCheckpoint whose blocks the
+    # ContextCleaner reclaims once the frame is unreferenced.
+    selected = phase_checkpoint(
         aug.join(F.broadcast(keep_g), "doc_id")
         .join(F.broadcast(drop_dup), "doc_id", "left_anti")
-        .join(F.broadcast(keep_c), "doc_id")
-    ).persist()
+        .join(F.broadcast(keep_c), "doc_id"),
+        "atm_selected",
+    )
     target = selected.filter(F.col("doc_id") % _DSIR_EVERY == 0)
     w = dsir_weights(selected, target, n_buckets=_DSIR_B)
     # The resample is a TakeOrdered: ≤k rows by construction, k fixed
