@@ -81,8 +81,12 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 8,
     shingle_k: int = 3,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh_0..mh_{n-1} (bigints).
+
+    ``toks_col`` — pre-tokenized column on ``docs`` (the shared
+    analyzed-corpus artifact): skips the scan-side re-tokenize.
 
     Double hashing (Broder): ONE md5 per token yields two 28-bit ints;
     shingle hashes combine k of them with an integer polynomial
@@ -101,7 +105,8 @@ def minhash_signatures(
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        tokens_col(text_col).alias("_toks"),
+        (F.col(toks_col) if toks_col is not None
+         else tokens_col(text_col)).alias("_toks"),
     )
     return _signatures_from_tokens(base, n_hashes, shingle_k)
 
@@ -313,6 +318,7 @@ def minhash_dedup(
     n_bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → Jaccard.
 
@@ -324,11 +330,19 @@ def minhash_dedup(
     table is MEMORY_AND_DISK via persist(): at 100 TB it spills rather
     than OOMs, and the trade (disk for a second full scan + tokenize)
     is the standard one for materialized dedup intermediates.
+
+    ``tokens`` — ALREADY-MATERIALIZED (doc_id, _toks) table (the
+    shared analyzed-corpus artifact): no persist here and no
+    unpersist of a frame the caller owns; ``docs`` is then unused.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokens_col(text_col).alias("_toks"),
-    ).persist()
+    own_toks = tokens is None
+    if own_toks:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens_col(text_col).alias("_toks"),
+        ).persist()
+    else:
+        toks = tokens.select("doc_id", "_toks")
     sigs = _signatures_from_tokens(toks, n_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, n_hashes, n_bands)
     out = ngram_jaccard_pairs(
@@ -336,7 +350,8 @@ def minhash_dedup(
         tokens=toks,
     )
     # out is eagerly materialized (_cut_lineage) — safe to release
-    toks.unpersist()
+    if own_toks:
+        toks.unpersist()
     return out
 
 

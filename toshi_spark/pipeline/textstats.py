@@ -508,6 +508,7 @@ def gopher_filter(
     min_distinct_stopwords: int = 2,
     max_digit_tok_frac: float = 0.2,
     max_mode_tok_frac: float = 0.2,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Gopher-style hard quality GATE (Rae et al. 2021 §A1.1): the
     keep/drop decision pipelines actually apply, with per-rule
@@ -528,8 +529,11 @@ def gopher_filter(
     zero exchanges, and composes with the scan at crawl scale.
     Returns (doc_id, n_tokens, mean_tok_len, n_stop_distinct,
     digit_tok_frac, mode_tok_frac, r_len..r_mode, keep).
+
+    ``toks_col`` — pre-tokenized column on ``docs`` (the shared
+    analyzed-corpus artifact): skips the scan-side re-tokenize.
     """
-    toks = tokens_col(text_col)
+    toks = F.col(toks_col) if toks_col is not None else tokens_col(text_col)
     n = F.size(toks)
     alnum_chars = F.length(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
@@ -689,6 +693,7 @@ def text_profile(
     id_col: str = "doc_id",
     text_col: str = "text",
     simhash_bits: int = 16,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """The full per-document text profile in ONE corpus scan: token
     counts (whitespace / alnum-run / BPE-ish), language-ID heuristic,
@@ -715,8 +720,12 @@ def text_profile(
     mean_tok_len, stop_ratio, punct_ratio, digit_ratio, quality,
     dup_line_frac, top_bigram_frac, n_types, ttr, entropy, simhash,
     fingerprint).
+
+    ``toks_col`` — pre-tokenized column on ``docs`` (the shared
+    analyzed-corpus artifact): skips the scan-side re-tokenize; the
+    char-level stats still read ``text_col``.
     """
-    toks = tokens_col(text_col)
+    toks = F.col(toks_col) if toks_col is not None else tokens_col(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
     alnum_chars = F.length(

@@ -80,7 +80,8 @@ def ngrams_col(toks: Column, n: int) -> Column:
 
 
 def tokens_barrier(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, _t) with the token array materialized behind a
     Generate node.
@@ -91,7 +92,17 @@ def tokens_barrier(
     every downstream higher-order lambda sees ``_t`` as a bound
     attribute, so the tokenizer split evaluates once per ROW no
     matter how many consumers the plan has.  See :func:`ngrams_col`
-    for the measured cost of losing that guarantee."""
+    for the measured cost of losing that guarantee.
+
+    ``toks_col`` — name of an ALREADY-MATERIALIZED token-array column
+    on ``docs`` (the shared analyzed-corpus artifact,
+    ``pipeline.corpus``): no split runs and no barrier is needed — a
+    column read from a checkpoint/parquet scan is a bound attribute
+    with no projection expression for CollapseProject to inline."""
+    if toks_col is not None:
+        return docs.select(
+            F.col(id_col).alias("doc_id"), F.col(toks_col).alias("_t")
+        )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         tokens_col(F.col(text_col)).alias("_t0"),
@@ -107,6 +118,7 @@ def contamination(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Flag training docs sharing any n-gram with the eval set.
 
@@ -119,8 +131,11 @@ def contamination(
     no corpus shuffle; the per-doc rollup is a map-side-combinable
     groupBy on doc_id.  Docs with zero matching grams are restored by
     the left join at the end (count aggregation only sees hits).
+
+    ``toks_col`` — pre-tokenized column on ``docs`` (the shared
+    analyzed-corpus artifact): skips the scan-side re-tokenize.
     """
-    with_grams = tokens_barrier(docs, id_col, text_col).select(
+    with_grams = tokens_barrier(docs, id_col, text_col, toks_col).select(
         "doc_id",
         ngrams_col(F.col("_t"), n).alias("_grams"),
     )
@@ -211,6 +226,7 @@ def fuzzy_contamination(
     threshold: float = 0.5,
     max_eval_bucket: int = 1000,
     eval_artifact: tuple[DataFrame, DataFrame] | None = None,
+    train_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Doc-level fuzzy decontamination: training docs whose shingle-set
     Jaccard against ANY eval doc reaches ``threshold``, found by
@@ -238,6 +254,11 @@ def fuzzy_contamination(
     benchmark suites are static, so a decontamination campaign builds
     the artifact once and reuses it across corpus shards and re-runs;
     ``eval_docs`` is then ignored.
+
+    ``train_tokens`` — ALREADY-MATERIALIZED (doc_id, _toks) table for
+    the train side (the shared analyzed-corpus artifact): skips this
+    function's own scan + tokenize + persist of the corpus; ``docs``
+    is then ignored.  The caller owns the artifact's lifecycle.
     """
     from .dedup import (
         _cut_lineage,
@@ -263,10 +284,16 @@ def fuzzy_contamination(
     # stage (the minhash_dedup fusion; the unfused form re-ran the
     # dominant scan+tokenize per stage — measured there as the bulk of
     # the slowest bench query).  MEMORY_AND_DISK: spills, never OOMs.
-    tr_toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        dd_tokens_col(text_col).alias("_toks"),
-    ).persist()
+    # With train_tokens the caller's artifact is already materialized:
+    # no persist here, and no unpersist of a frame we don't own.
+    own_toks = train_tokens is None
+    if own_toks:
+        tr_toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            dd_tokens_col(text_col).alias("_toks"),
+        ).persist()
+    else:
+        tr_toks = train_tokens.select("doc_id", "_toks")
     train_b = band_buckets(
         _signatures_from_tokens(tr_toks, n_hashes, shingle_k),
         n_hashes, n_bands,
@@ -304,7 +331,8 @@ def fuzzy_contamination(
     # (returning the lazy plan would pin it for the caller's
     # lifetime — the ngram_jaccard_pairs lesson)
     out = _cut_lineage(out)
-    tr_toks.unpersist()
+    if own_toks:
+        tr_toks.unpersist()
     return out
 
 
@@ -317,6 +345,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int | None = None,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Assign every doc its token span in the packed training stream.
 
@@ -337,8 +366,10 @@ def pack_sequences(
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens_col(F.col(text_col))).cast("long")
-        .alias("n_tokens"),
+        F.size(
+            F.col(toks_col) if toks_col is not None
+            else tokens_col(F.col(text_col))
+        ).cast("long").alias("n_tokens"),
     )
     if num_partitions is None:
         num_partitions = toks.sparkSession.sparkContext.defaultParallelism
@@ -431,6 +462,7 @@ def lm_score(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Per-doc average bigram negative log-likelihood under a bigram
     LM trained on the corpus itself (CCNet's quality signal, with the
@@ -451,8 +483,11 @@ def lm_score(
     co-partitioned shuffle hash join, no broadcast assumption since a
     web-scale bigram table is NOT small.  V is a 1-row agg broadcast
     into the smoothing expression.
+
+    ``toks_col`` — pre-tokenized column on ``docs`` (the shared
+    analyzed-corpus artifact): skips the scan-side re-tokenize.
     """
-    toks = tokens_barrier(docs, id_col, text_col)
+    toks = tokens_barrier(docs, id_col, text_col, toks_col)
     bigrams = toks.select(
         "doc_id",
         F.explode(ngrams_col(F.col("_t"), 2)).alias("bigram"),
@@ -566,14 +601,15 @@ def blocklist_filter(
 
 
 def _bigram_buckets(docs: DataFrame, n_buckets: int,
-                    id_col: str, text_col: str) -> DataFrame:
+                    id_col: str, text_col: str,
+                    toks_col: str | None = None) -> DataFrame:
     """(doc_id, bucket) stream: one row per word bigram, hashed into
     ``n_buckets`` via the first 28 bits of md5 (the engine-portable
     hash used throughout — DuckDB reproduces it with
     ``('0x' || substr(md5(g),1,7))::BIGINT``, so oracle parity holds
     bit-for-bit, unlike murmur3 ``F.hash``)."""
     return (
-        tokens_barrier(docs, id_col, text_col)
+        tokens_barrier(docs, id_col, text_col, toks_col)
         .select("doc_id", F.explode(ngrams_col(F.col("_t"), 2))
                 .alias("_g"))
         .select(
@@ -595,6 +631,7 @@ def dsir_weights(
     n_buckets: int = 4096,
     id_col: str = "doc_id",
     text_col: str = "text",
+    toks_col: str | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw doc
@@ -621,8 +658,8 @@ def dsir_weights(
     shuffle moves one row per doc.  The resampling step itself is
     :func:`dsir_resample`.
     """
-    raw_b = _bigram_buckets(docs, n_buckets, id_col, text_col)
-    tgt_b = _bigram_buckets(target, n_buckets, id_col, text_col)
+    raw_b = _bigram_buckets(docs, n_buckets, id_col, text_col, toks_col)
+    tgt_b = _bigram_buckets(target, n_buckets, id_col, text_col, toks_col)
     rawc = raw_b.groupBy("bucket").agg(
         F.count("*").cast("double").alias("_cr")
     )
