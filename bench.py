@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "multimodal_pipeline",
     # round 6: end-to-end training-mix assembly (integration query)
     "assemble_training_mix",
+    # round 7: non-ASCII analyzer path (multilingual corpus BM25)
+    "ft_unicode_term",
 ]
 
 

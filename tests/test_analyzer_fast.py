@@ -124,3 +124,81 @@ def test_fast_path_chunking_preserves_identity(monkeypatch):
     expect = _run_batch(texts)
     monkeypatch.setattr(az, "FAST_CHUNK_BYTES", 16)
     assert _run_batch(texts) == expect
+
+
+# ---------------------------------------------------- unicode kernel
+
+UNICODE_GOLDEN = [
+    "Привет МИР 123 ёжик",                 # Cyrillic + digits
+    "Grüße STRASSE Çekoslovakya",          # Latin-1 / Turkish
+    "日本語のテキストです 漢字",              # CJK runs
+    "ΑΣΒ ΣΟΦΟΣ τέλος",                     # Greek: Σ → Final_Sigma rule
+    "İstanbul İİ dotted",                  # İ: one-to-many lowercase
+    "مرحبا بالعالم 42",                    # Arabic RTL + ASCII digits
+    "한국어 텍스트",                          # Hangul
+    "mixed ASCII و عربي and 日本",          # script-mixed doc
+    "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 astral 𐍈 text",             # astral → scalar leftover
+    "x́ combining ÿz",          # combining marks separate
+    "ё" * 25,                              # 50-byte token → dropped
+    "Ɫ width Ɫ",                           # lowercase changes byte width
+    "  nbsp seps",          # unicode spaces as separators
+]
+
+
+def test_unicode_kernel_golden_identity():
+    assert _run_batch(UNICODE_GOLDEN) == _scalar_expect(UNICODE_GOLDEN)
+
+
+def test_unicode_kernel_leftover_routing():
+    # the kernel must vectorize the case-safe BMP docs and hand back
+    # ONLY astral / case-unsafe docs for the scalar path
+    from toshi_spark.analyzer import _analyze_unicode_batch
+
+    texts = ["Привет мир", "ΣΟΦΟΣ", "astral 𐍈", "naïve café"]
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("field", pa.string()),
+         ("term", pa.string()), ("tf", pa.int32()),
+         ("positions", pa.list_(pa.int32())),
+         ("doc_len", pa.int32())]
+    )
+    rb, leftovers = _analyze_unicode_batch(
+        [0, 1, 2, 3], texts, "text", schema
+    )
+    assert sorted(i for i, _t in leftovers) == [1, 2]
+    assert rb is not None
+    assert sorted(set(rb.column(0).to_pylist())) == [0, 3]
+
+
+def test_unicode_kernel_chunking_preserves_identity(monkeypatch):
+    import toshi_spark.analyzer as az
+
+    texts = [f"привет{i} мир{i % 3} ёж" for i in range(40)]
+    expect = _run_batch(texts)
+    monkeypatch.setattr(az, "FAST_CHUNK_BYTES", 64)  # uni budget = 16
+    assert _run_batch(texts) == expect
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            # BMP-heavy multilingual text (the vectorized path).
+            # Surrogates are excluded: Arrow strings are valid UTF-8,
+            # so the kernel can never receive one from Spark (pyarrow
+            # refuses to even build the test batch).
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=0x20, max_codepoint=0xFFFF,
+                    exclude_categories=("Cs",),
+                ),
+                max_size=80,
+            ),
+            # full-range text incl. astral (leftover path)
+            st.text(max_size=40),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_unicode_kernel_fuzz_identity(texts):
+    assert _run_batch(texts) == _scalar_expect(texts)

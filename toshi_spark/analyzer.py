@@ -382,12 +382,27 @@ def _analyze_ascii_batch(ids, texts, field, out_schema):
         pa.py_buffer(out_off.astype(np.int32).tobytes()),
         pa.py_buffer(token_values.tobytes()),
     )
+    return _group_and_emit(
+        ids, tokens, doc_of[kept], pos[kept], n_docs, field, out_schema
+    )
+
+
+def _group_and_emit(ids, tokens, di, pi, n_docs, field, out_schema):
+    """Shared kernel tail: kept-token stream → per-(doc, term) rows.
+
+    ``tokens`` is an Arrow StringArray of kept (already-lowercased)
+    tokens, ``di``/``pi`` the parallel doc-index / raw-stream-position
+    arrays.  Dictionary-encode (C hash) → stable argsort on the fused
+    (doc, term) key → group-boundary diff for tf + the flat positions
+    buffer; docs with zero kept tokens emit the tf=0 sentinel row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    np = _np
     encoded = pc.dictionary_encode(tokens)
     tid = encoded.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     dictionary = encoded.dictionary
 
-    di = doc_of[kept]
-    pi = pos[kept]
     # stable sort on the fused key ≡ lexsort by (doc, term); stability
     # keeps each group's positions in raw-stream (ascending) order
     order = np.argsort(di * np.int64(max(len(dictionary), 1)) + tid,
@@ -442,6 +457,148 @@ def _analyze_ascii_batch(ids, texts, field, out_schema):
         ],
         schema=out_schema,
     )
+
+
+# -------------------------------------------- vectorized Unicode kernel
+#
+# The default chain for NON-ASCII text, vectorized at codepoint level:
+# one C pass decodes the batch to a uint32 codepoint buffer (UTF-32LE),
+# then the same boundary-diff/run machinery as the ASCII kernel runs
+# over 64 KiB BMP lookup tables (alnum class, simple lowercase, UTF-8
+# byte width).  Docs that need semantics the tables can't express are
+# returned as LEFTOVERS for the exact scalar path:
+#   - astral codepoints (≥ U+10000) — outside the BMP tables;
+#   - one-to-many lowercase (İ → i + U+0307) — changes char count;
+#   - Σ (U+03A3) — Python str.lower() applies the Final_Sigma context
+#     rule, which a per-codepoint table cannot.
+# Everything else (Latin-1, Cyrillic, Greek, Arabic, CJK, Hangul — the
+# scripts that dominate a multilingual crawl) stays vectorized.  The
+# golden + hypothesis suites pin both paths byte-identical.
+
+_BMP = 0x10000
+_U_TABLES: tuple | None = None
+
+
+def _unicode_tables():
+    """Lazily-built BMP tables (one ~50 ms pass per process):
+    (alnum bool, simple-lower uint32, case-unsafe bool, utf8-bytes int64).
+    """
+    global _U_TABLES
+    if _U_TABLES is None:
+        np = _np
+        alnum = np.zeros(_BMP, dtype=bool)
+        lower = np.arange(_BMP, dtype=np.uint32)
+        unsafe = np.zeros(_BMP, dtype=bool)
+        for c in range(_BMP):
+            ch = chr(c)
+            alnum[c] = ch.isalnum()
+            lo = ch.lower()
+            if len(lo) == 1:
+                lower[c] = ord(lo)
+            else:
+                unsafe[c] = True
+        unsafe[0x03A3] = True  # Σ: Final_Sigma is context-sensitive
+        u8len = np.ones(_BMP, dtype=np.int64)
+        u8len[0x80:] = 2
+        u8len[0x800:] = 3
+        _U_TABLES = (alnum, lower, unsafe, u8len)
+    return _U_TABLES
+
+
+def _analyze_unicode_batch(ids, texts, field, out_schema):
+    """Vectorized default-chain analysis of non-ASCII (BMP, case-safe)
+    docs → (RecordBatch | None, leftover (id, text) pairs).
+
+    Mirrors `_analyze_ascii_batch` with codepoint units instead of
+    bytes: alnum runs by boundary diff over the BMP class table,
+    RemoveLongFilter on the RAW token's UTF-8 byte length (cumsum of
+    per-char widths — the filter runs before LowerCaser, exactly like
+    the scalar chain), lowercase as a uint32 table gather, then one
+    UTF-32→str→UTF-8 C round-trip materializes the compacted token
+    buffer whose per-token byte offsets come from the LOWERCASED
+    widths (lowercase can change byte width: Ɫ 3B → ɫ 2B).
+    """
+    import pyarrow as pa
+
+    np = _np
+    alnum_t, lower_t, unsafe_t, u8len_t = _unicode_tables()
+    n_docs = len(texts)
+    char_lens = np.fromiter((len(t) for t in texts), np.int64, n_docs)
+    buf = np.frombuffer(
+        "\x00".join(texts).encode("utf-32-le"), dtype=np.uint32
+    )
+    sep_pos = np.cumsum(char_lens + 1)[:-1] - 1
+
+    # route docs the tables can't express to the scalar path
+    astral = buf >= _BMP
+    bad_chars = unsafe_t[np.where(astral, 0, buf)] | astral
+    if bad_chars.any():
+        bad_docs = np.unique(
+            np.searchsorted(sep_pos, np.nonzero(bad_chars)[0])
+        )
+        leftovers = [(ids[d], texts[d]) for d in bad_docs]
+        good = np.ones(n_docs, dtype=bool)
+        good[bad_docs] = False
+        ids = [i for i, g in zip(ids, good) if g]
+        texts = [t for t, g in zip(texts, good) if g]
+        if not texts:
+            return None, leftovers
+        n_docs = len(texts)
+        char_lens = np.fromiter((len(t) for t in texts), np.int64, n_docs)
+        buf = np.frombuffer(
+            "\x00".join(texts).encode("utf-32-le"), dtype=np.uint32
+        )
+        sep_pos = np.cumsum(char_lens + 1)[:-1] - 1
+    else:
+        leftovers = []
+
+    alnum = alnum_t[np.minimum(buf, _BMP - 1)]
+    shifted = np.empty(len(buf), dtype=bool)
+    if len(buf):
+        shifted[0] = False
+        shifted[1:] = alnum[:-1]
+    starts = np.nonzero(alnum & ~shifted)[0]
+    if len(buf):
+        shifted[-1] = False
+        shifted[:-1] = alnum[1:]
+    ends = np.nonzero(alnum & ~shifted)[0] + 1
+    lens = ends - starts
+
+    doc_of = np.searchsorted(sep_pos, starts)
+    runs_per_doc = np.bincount(doc_of, minlength=n_docs)
+    run_start = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(runs_per_doc, out=run_start[1:])
+    pos = np.arange(len(starts), dtype=np.int64) - np.repeat(
+        run_start[:-1], runs_per_doc
+    )
+
+    # RemoveLongFilter on RAW UTF-8 byte length (exclusive prefix sum
+    # of per-char widths → per-run byte totals)
+    wcs = np.zeros(len(buf) + 1, np.int64)
+    np.cumsum(u8len_t[np.minimum(buf, _BMP - 1)], out=wcs[1:])
+    raw_bytes = wcs[ends] - wcs[starts]
+    kept = raw_bytes < TOKEN_BYTE_LIMIT
+    sk, lk = starts[kept], lens[kept]
+    out_off = np.zeros(len(lk) + 1, np.int64)
+    np.cumsum(lk, out=out_off[1:])
+    tot = int(out_off[-1])
+    gather = np.repeat(sk - out_off[:-1], lk) + np.arange(tot, dtype=np.int64)
+    lo_chars = lower_t[buf[gather]]
+    # token BYTE offsets from the lowercased widths, then one C
+    # round-trip to a UTF-8 buffer
+    bcs = np.zeros(tot + 1, np.int64)
+    np.cumsum(u8len_t[lo_chars], out=bcs[1:])
+    byte_off = bcs[out_off]
+    data = lo_chars.tobytes().decode("utf-32-le").encode("utf-8")
+    tokens = pa.StringArray.from_buffers(
+        len(lk),
+        pa.py_buffer(byte_off.astype(np.int32).tobytes()),
+        pa.py_buffer(data),
+    )
+    batch = _group_and_emit(
+        ids, tokens, doc_of[kept], pos[kept], n_docs, field, out_schema
+    )
+    return batch, leftovers
 
 
 def analyze_arrow_batches(
@@ -506,19 +663,31 @@ def analyze_arrow_batches(
         if use_fast:
             fast_ids: list[int] = []
             fast_texts: list[str] = []
+            uni_ids: list[int] = []
+            uni_texts: list[str] = []
             slow: list[tuple] = []
+            # unicode kernel buffers are 4 B/char (UTF-32) and UTF-8
+            # output ≤ 3 B/char for BMP — budget in chars accordingly
+            uni_budget = FAST_CHUNK_BYTES // 4
             for doc_id, text in pairs:
                 if text is None:
                     # scalar path analyzes None as "" — same sentinel
                     fast_ids.append(doc_id)
                     fast_texts.append("")
-                elif (isinstance(text, str) and text.isascii()
-                      and len(text) <= FAST_CHUNK_BYTES):
-                    # a single doc larger than the chunk budget could
-                    # overflow the kernel's int32 Arrow offsets on its
-                    # own — route it to the exact scalar path instead
-                    fast_ids.append(doc_id)
-                    fast_texts.append(text)
+                elif not isinstance(text, str):
+                    slow.append((doc_id, text))
+                elif text.isascii():
+                    if len(text) <= FAST_CHUNK_BYTES:
+                        fast_ids.append(doc_id)
+                        fast_texts.append(text)
+                    else:
+                        # a single doc larger than the chunk budget
+                        # could overflow the kernel's int32 Arrow
+                        # offsets on its own — exact scalar path
+                        slow.append((doc_id, text))
+                elif len(text) <= uni_budget:
+                    uni_ids.append(doc_id)
+                    uni_texts.append(text)
                 else:
                     slow.append((doc_id, text))
             if fast_ids:
@@ -545,6 +714,25 @@ def analyze_arrow_batches(
                             fast_ids[lo:hi], fast_texts[lo:hi],
                             field, out_schema,
                         )
+            if uni_ids:
+                # same pre-overflow chunk cut, in CHAR units
+                cut = [0]
+                acc = 0
+                for i, t in enumerate(uni_texts):
+                    if acc + len(t) > uni_budget and acc:
+                        cut.append(i)
+                        acc = 0
+                    acc += len(t)
+                cut.append(len(uni_texts))
+                for lo, hi in zip(cut[:-1], cut[1:]):
+                    if lo < hi:
+                        rb, leftovers = _analyze_unicode_batch(
+                            uni_ids[lo:hi], uni_texts[lo:hi],
+                            field, out_schema,
+                        )
+                        if rb is not None:
+                            yield rb
+                        slow.extend(leftovers)
             if not slow:
                 continue
             pairs = iter(slow)

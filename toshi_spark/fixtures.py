@@ -110,6 +110,90 @@ def synth_webtext(
     return base.mapInPandas(gen, WEBTEXT_SCHEMA)
 
 
+# ------------------------------------------------- multiscript webtext
+#
+# Deterministic NON-ASCII corpus slice: real crawls are 30-50%
+# non-English, and an ASCII-only fixture never exercises the Unicode
+# analyzer kernel (analyzer._analyze_unicode_batch), CJK runs, case
+# folding beyond +32, or combining-mark splits end-to-end.  Same
+# per-row seeding ⇒ byte-identical at any parallelism.
+
+_CYR_VOCAB = [f"слово{i}" for i in range(200)] + [
+    "привет", "мир", "поиск", "данные", "система", "ёжик", "быстрый",
+]
+_CJK_CHARS = "日本語検索系統索引高速言葉漢字文書処理機械学習"
+_LAT1_VOCAB = ["grüße", "straße", "café", "naïve", "résumé", "señor",
+               "über", "çalış", "ölçü", "données"]
+_GREEK_VOCAB = ["αναζήτηση", "σύστημα", "ταχύτητα", "ευρετήριο",
+                "δεδομένα", "γλώσσα"]
+_COMBINING = "x́ÿ"  # combining marks split alnum runs
+
+
+def _gen_batch_multiscript(idx: np.ndarray, seed: int) -> pd.DataFrame:
+    ascii_vocab = _vocab(400)
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    for i in idx:
+        i = int(i)
+        rng = np.random.RandomState(_doc_seed(seed * 31 + 7, i))
+        n_tokens = int(20 + rng.randint(0, 120))
+        words = []
+        for _ in range(n_tokens):
+            b = rng.rand()
+            if b < 0.30:
+                words.append(_CYR_VOCAB[rng.randint(0, len(_CYR_VOCAB))])
+            elif b < 0.50:
+                k = rng.randint(2, 7)
+                s = rng.randint(0, len(_CJK_CHARS) - k)
+                words.append(_CJK_CHARS[s:s + k])
+            elif b < 0.62:
+                words.append(_LAT1_VOCAB[rng.randint(0, len(_LAT1_VOCAB))])
+            elif b < 0.70:
+                words.append(
+                    _GREEK_VOCAB[rng.randint(0, len(_GREEK_VOCAB))]
+                )
+            elif b < 0.73:
+                words.append(_COMBINING)
+            else:
+                words.append(ascii_vocab[rng.randint(0, len(ascii_vocab))])
+        words.append(f"маркер{i:08d}")  # unique Cyrillic tail term
+        if i % 41 == 0:
+            words.insert(0, "ё" * 25)  # 50 UTF-8 bytes → analyzer drops
+        sep_pool = [" ", " ", "、", ", ", ". ", "·", "\n"]
+        seps = rng.choice(len(sep_pool), size=len(words))
+        text = "".join(
+            w + sep_pool[int(s)] for w, s in zip(words, seps)
+        ).rstrip()
+        url = f"https://uni-{i % 100:03d}.test/страница/{i:010d}"
+        urls.append(url)
+        tss.append(datetime.fromtimestamp(_EPOCH + i, tz=timezone.utc))
+        htmls.append(f"<html><body>{text}</body></html>".encode("utf-8"))
+        texts.append(text)
+        langs.append(["ru", "ja", "de", "el", "en"][i % 5])
+    return pd.DataFrame(
+        {"url": urls, "warc_ts": tss, "html": htmls, "text": texts,
+         "lang": langs}
+    )
+
+
+def synth_webtext_multiscript(
+    spark: SparkSession, n_docs: int, seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Mixed-script web corpus (same schema as ``synth_webtext``):
+    ~30% Cyrillic, ~20% CJK runs, Latin-1/Greek slices, combining
+    marks, a per-doc Cyrillic marker term, and periodic over-40-byte
+    Cyrillic tokens the analyzer must drop."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_docs, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gen_batch_multiscript(pdf["id"].values, seed)
+
+    return base.mapInPandas(gen, WEBTEXT_SCHEMA)
+
+
 SITE_DOCS = 2048  # crawl locality: contiguous docs share a host
 
 

@@ -681,6 +681,30 @@ class IndexCatalog:
         return FullTextIndex(self.spark, schema, corpus, tables,
                              id_col="doc_id", name=name)
 
+    def commit_fingerprint(self, name: str) -> str:
+        """Cheap stamp of the COMMITTED view: manifest bytes + the
+        committed-tombstone file listing.  Changes iff a commit
+        (flush/merge/format migration) changed what readers may see —
+        staged tombstones (``tombstones_pending``) are deliberately
+        excluded, matching deferred-delete visibility.  Long-lived
+        serving processes key cached :meth:`open` handles on it so a
+        later commit refreshes the handle instead of silently serving
+        the pre-commit view (queries.q_delete_visibility's cache)."""
+        import hashlib
+
+        d = self._dir(name)
+        h = hashlib.md5()
+        man = os.path.join(d, "manifest.jsonl")
+        if os.path.exists(man):
+            with open(man, "rb") as f:
+                h.update(f.read())
+        tdir = os.path.join(d, "tombstones")
+        if os.path.isdir(tdir):
+            for fn in sorted(os.listdir(tdir)):
+                p = os.path.join(tdir, fn)
+                h.update(f"{fn}:{os.path.getsize(p)}".encode())
+        return h.hexdigest()
+
     def _check_analyzer_versions(self, name: str,
                                  schema: IndexSchema) -> None:
         """Fail fast when an index's terms were produced by an analyzer

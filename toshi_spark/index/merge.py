@@ -121,6 +121,15 @@ def run_merge(
             opstamp=max(e.opstamp for e in bucket),
             publish=False,
         )
+        # carry member provenance (transitively) so committed_ids()
+        # still covers every batch id ever ingested — an
+        # at-least-once replay of a compacted-away micro-batch must
+        # stay skipped (exactly-once across compactions)
+        absorbed: set[str] = set()
+        for e in bucket:
+            absorbed.add(e.segment_id)
+            absorbed.update(e.absorbed)
+        entry.absorbed = sorted(absorbed)
         for e in bucket:
             remaining.pop(e.segment_id, None)
         remaining[new_id] = entry

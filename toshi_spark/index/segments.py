@@ -28,7 +28,7 @@ import json
 import os
 import shutil
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -78,6 +78,11 @@ class ManifestEntry:
     committed_at: str
     # entries written before versioning default to 0 (= unknown/old)
     format_version: int = 0
+    # segment ids a merge absorbed into this entry (transitively):
+    # committed_ids() must keep covering them or an at-least-once
+    # replay of an already-compacted micro-batch would re-ingest it
+    # (the batch-id-addressed segment id no longer appears directly)
+    absorbed: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -106,7 +111,14 @@ class Manifest:
         return list(by_id.values())
 
     def committed_ids(self) -> set[str]:
-        return {e.segment_id for e in self.entries()}
+        """Every id this index has EVER committed: live entries plus
+        the member ids merges absorbed — the exactly-once dedup set
+        for at-least-once writers (see ManifestEntry.absorbed)."""
+        out: set[str] = set()
+        for e in self.entries():
+            out.add(e.segment_id)
+            out.update(e.absorbed)
+        return out
 
     def append(self, entry: ManifestEntry) -> None:
         os.makedirs(self.index_dir, exist_ok=True)

@@ -1309,6 +1309,113 @@ ORACLES["ft_segmented_term_bm25"] = ORACLES["ft_term_bm25"]
 QUERIES["ft_segmented_term_bm25"] = q_segmented_term_bm25
 
 
+# --- multilingual corpus: the Unicode analyzer end-to-end -----------------
+#
+# The driver corpus is ASCII, so the vectorized Unicode analyzer kernel
+# (analyzer._analyze_unicode_batch) was only unit-pinned.  This query
+# indexes documents ∪ a deterministic multilingual slice (Cyrillic,
+# CJK, Hangul, Latin-1, Greek — literal in BOTH engines) and ranks a
+# Cyrillic term, driver-attesting the non-ASCII analyze → postings →
+# BM25 path.  The slice avoids the two analyzer classes DuckDB's
+# per-codepoint lower() cannot mirror (Σ final-sigma context, İ
+# one-to-many lowercase) — those are pinned kernel-vs-scalar by
+# tests/test_analyzer_fast.py instead.
+
+_UNI_DOCS: list[tuple[int, str]] = [
+    (100001, "привет мир поиск данные привет система быстро"),
+    (100002, "быстрый поиск индекс привет запрос слово привет привет"),
+    (100003, "данные и поиск система мир"),
+    (100004, "日本語 検索 システム 索引 高速 検索"),
+    (100005, "한국어 검색 시스템 인덱스"),
+    (100006, "grüße straße café données résumé"),
+    (100007, "αναζήτηση ευρετήριο σύστημα ταχύτητα"),
+    (100008, "привет data спарк поиск 123 спарк"),
+    (100009, "мир мир мир индекс"),
+    (100010, "混合 text привет und straße 42"),
+]
+
+_UIX_CACHE: dict[tuple[str, int], object] = {}
+
+
+def _get_unicode_index(spark: SparkSession, sf_dir: str):
+    key = (sf_dir, id(spark.sparkContext))
+    if key not in _UIX_CACHE:
+        extra = spark.createDataFrame(_UNI_DOCS, "doc_id long, text string")
+        corpus = (
+            load_documents(spark, sf_dir)
+            .select("doc_id", "text")
+            .unionByName(extra)
+        )
+        _UIX_CACHE[key] = build_index(
+            corpus, id_col="doc_id", text_fields="text"
+        )
+    return _UIX_CACHE[key]
+
+
+def q_unicode_term_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a Cyrillic term over the multilingual corpus."""
+    ix = _get_unicode_index(spark, sf_dir)
+    matched = ix.postings.filter(
+        (F.col("field") == "text") & (F.col("term") == "привет")
+    )
+    scored = bm25_score(
+        matched, ix.doclens, ix.termstats, ix.n_docs, ix.fieldstats,
+        tf_mode="full", unique_doc_terms=True,
+    )
+    return topk(scored, 10).select("doc_id", _r4())
+
+
+def _uni_values_sql() -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in _UNI_DOCS)
+    return f"SELECT * FROM (VALUES {rows}) AS v(doc_id, text)"
+
+
+# same scoring CTEs as _TOKS/_bm25_sql, over the union corpus with the
+# UNICODE tokenizer (RE2 \p{L}\p{N} ≡ the analyzer's alnum classes for
+# every char in this corpus; utf8proc lower() ≡ Python str.lower() for
+# all case-safe chars — the slice excludes Σ and İ by construction)
+ORACLES["ft_unicode_term"] = rf"""
+WITH uni_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  {_uni_values_sql()}
+),
+arr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                     t -> t <> '') AS a
+  FROM uni_docs
+),
+doclens AS (
+  SELECT doc_id, len(a) AS dl FROM arr
+),
+stats AS (
+  SELECT (SELECT count(*) FROM uni_docs) AS n, avg(dl) AS avgdl
+  FROM doclens
+),
+post AS (
+  SELECT doc_id, tok, count(*) AS tf FROM (
+    SELECT doc_id, unnest(a) AS tok FROM arr
+  ) GROUP BY doc_id, tok
+),
+dfs AS (
+  SELECT tok, count(*) AS df FROM post GROUP BY tok
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+             (p.tf * 2.2) /
+             (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS raw_score
+  FROM post p JOIN dfs d USING (tok) JOIN doclens l USING (doc_id), stats s
+  WHERE p.tok = 'привет'
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(raw_score, 4) AS score
+FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT 10
+"""
+QUERIES["ft_unicode_term"] = q_unicode_term_bm25
+
+
 def q_raw_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw query-string path (Tantivy QueryParser surface,
     toshi-server/src/handle.rs:115-119): grouping + boost + AND
@@ -1425,9 +1532,19 @@ def q_delete_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(base, name, "_delete_vis_ready")
     stamp = f"fmt{SEGMENT_FORMAT_VERSION}:v1"
     cache_key = (sf_dir, id(spark.sparkContext))
-    ix = _CAT_OPEN_CACHE.get(cache_key)
+    cat = IndexCatalog(spark, base)
+    cached = _CAT_OPEN_CACHE.get(cache_key)
+    # freshness guard: the cached handle pins the manifest AT OPEN; a
+    # commit after cache-fill (flush/merge/delete+flush) must refresh
+    # it or a long-lived serving process silently serves the
+    # pre-commit view.  commit_fingerprint is a small-file stat/read —
+    # negligible next to the query it fronts.
+    fp = (
+        cat.commit_fingerprint(name)
+        if os.path.exists(os.path.join(base, name)) else None
+    )
+    ix = cached[1] if cached is not None and cached[0] == fp else None
     if ix is None:
-        cat = IndexCatalog(spark, base)
         if not (os.path.exists(marker) and open(marker).read() == stamp):
             cat.delete_index(name)  # stale/partial setup from a prior run
             cat.create_index(name, [
@@ -1445,7 +1562,7 @@ def q_delete_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(marker, "w") as f:
                 f.write(stamp)
         ix = cat.open(name)
-        _CAT_OPEN_CACHE[cache_key] = ix
+        _CAT_OPEN_CACHE[cache_key] = (cat.commit_fingerprint(name), ix)
     cols = ["field", "term", "doc_id", "tf"]
     if "doc_len" in ix.postings.columns:
         cols.append("doc_len")

@@ -20,6 +20,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 from ..index.builder import build_index
+from ..index.merge import run_merge
 from ..index.segments import Manifest, segment_id_for, write_segment
 
 
@@ -34,6 +35,8 @@ def stream_ingest(
     checkpoint_dir: str | None = None,
     trigger_seconds: float | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int = 16,
+    merge_policy: dict | None = None,
 ):
     """readStream(json dir) → one segment per non-empty micro-batch.
 
@@ -44,13 +47,27 @@ def stream_ingest(
     a replayed batch (foreachBatch is at-least-once) is SKIPPED when
     its segment id is already committed, and Manifest.entries() dedupes
     by id as defense in depth.
+
+    ``merge_policy`` — dict of :func:`..index.merge.run_merge` policy
+    dials (``min_merge_size`` / ``min_layer_size`` /
+    ``level_log_size``); when set, compaction runs AFTER each committed
+    batch, exactly when the log-merge policy says a bucket is due.
+    One segment per micro-batch is precisely the 256-tiny-segment
+    pathology scripts_segments_scale.py measured (8× query cost), so a
+    long-running watcher must compact or it degrades.  Running the
+    merge inside foreachBatch serializes it with ingest — ONE writer
+    mutates the manifest (Toshi runs merges on background threads; the
+    micro-batch boundary is the Spark-native equivalent trigger and
+    removes writer-writer races by construction).  Readers race only
+    the atomic ``replace_all`` rename: they see members-only or
+    merged-only, never both (pinned by test_streaming_merge.py).
     """
     if checkpoint_dir is None:
         checkpoint_dir = index_dir + "/_stream_checkpoint"
 
     src = (
         spark.readStream.schema(source_schema)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(source_dir)
     )
 
@@ -70,6 +87,9 @@ def stream_ingest(
                              text_fields=text_fields)
         write_segment(spark, tables, index_dir, seg_id,
                       opstamp=batch_id + 1)
+        if merge_policy is not None:
+            run_merge(spark, index_dir, index_name=index_name,
+                      **merge_policy)
 
     writer = (
         src.writeStream.foreachBatch(commit_batch)
