@@ -23,10 +23,15 @@ def drop_batch(b, n=2000):
     return time.perf_counter()
 
 res = {"batch_docs": 2000, "batches": []}
+# round 7: compaction enabled — the policy fires mid-run, so these
+# numbers show steady-state ingest-to-visible latency ACROSS a merge
+# (min_merge_size=4 → a compaction lands around batch 4)
+MERGE = {"min_merge_size": 4, "min_layer_size": 100}
 q = stream_ingest(spark, SRC, schema, IDX, index_name="lat",
-                  trigger_seconds=0.5, available_now=False)
+                  trigger_seconds=0.5, available_now=False,
+                  merge_policy=MERGE)
 try:
-    for b in range(5):
+    for b in range(8):
         t_drop = drop_batch(b)
         # poll manifest until the new docs are committed
         target = (b+1)*2000
@@ -51,4 +56,5 @@ try:
 finally:
     q.stop()
 res["n_segments"] = len(Manifest(IDX).entries())
+res["merge_policy"] = MERGE
 print(json.dumps(res))
