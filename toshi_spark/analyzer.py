@@ -493,7 +493,10 @@ def _unicode_tables():
             ch = chr(c)
             alnum[c] = ch.isalnum()
             lo = ch.lower()
-            if len(lo) == 1:
+            # one-to-one AND BMP-to-BMP only: a lowercase mapping out
+            # of the BMP (none exists in Unicode today, but the width
+            # table only covers the BMP) would corrupt byte offsets
+            if len(lo) == 1 and ord(lo) < _BMP:
                 lower[c] = ord(lo)
             else:
                 unsafe[c] = True
