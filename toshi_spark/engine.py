@@ -78,6 +78,11 @@ class FullTextIndex:
         self.tables = tables
         self.id_col = id_col
         self.name = name
+        # opt-in doc-sharded postings copy (index/bucketed.py): set by
+        # enable_doc_bucketed(); the compiler routes multi-term leaf
+        # scans here so phrase/bool intersections group by doc_id
+        # without a corpus-scale Exchange
+        self.doc_bucketed = None
 
     # convenience accessors used by the compiler
     @property
@@ -99,6 +104,26 @@ class FullTextIndex:
     @property
     def n_docs(self) -> int:
         return self.tables.n_docs
+
+    def enable_doc_bucketed(
+        self,
+        path: str,
+        n_term_partitions: int = 16,
+        n_buckets: int = 32,
+    ) -> "FullTextIndex":
+        """Write the doc-sharded postings copy (one write-time shuffle)
+        and route multi-term queries through it — see
+        index/bucketed.py for the layout and the cost model."""
+        from .index.bucketed import write_doc_bucketed
+
+        self.doc_bucketed = write_doc_bucketed(
+            self.tables.postings,
+            path,
+            table=f"toshi_docb_{self.name}",
+            n_term_partitions=n_term_partitions,
+            n_buckets=n_buckets,
+        )
+        return self
 
     @classmethod
     def build(

@@ -1,0 +1,142 @@
+"""Doc-sharded postings: partitionBy(field, term_bkt) + bucketBy(doc_id).
+
+The (field, term)-sorted segment layout is optimal for single-term
+lookups — the scan prunes to one term's rows and BM25 runs with zero
+data-scale exchanges (test_plan_shapes.py pins it).  Multi-term
+POSITIONAL and boolean queries pay a different cost: the intersection/
+union groups posting rows by doc_id, one corpus-scale Exchange per
+query (measured 2.0-3.5 s at 1M docs / 104.7M postings,
+scripts_phrase_1m.py — the exchange of head-term position arrays IS
+the phrase premium).
+
+This module provides the layout every doc-sharded search engine uses
+at cluster scale (Elasticsearch/Solr shards; the reference delegates
+to one Tantivy node — ``toshi-server/src/index/mod.rs`` — so its
+scale-out story is exactly "run many of them and shard by doc"): all
+of a doc's posting rows, for every term, live in one shard.  In Spark
+terms:
+
+    write.partitionBy("field", "term_bkt")  # scan pruning: a P-term
+                                            # query reads <= P of the
+                                            # n_term_partitions dirs
+         .bucketBy(n_buckets, "doc_id")     # groupBy/join on doc_id is
+         .sortBy("doc_id")                  # exchange-free (bucketed
+                                            # scan satisfies the agg's
+                                            # required distribution)
+
+so a phrase/bool query becomes: prune term_bkt dirs -> filter terms ->
+groupBy doc_id with NO Exchange (pinned in tests/test_bucketed.py).
+Single-term queries keep the term-sorted layout; the compiler routes
+only multi-term leaf scans here (query/compiler.py
+``_postings_for_terms``).
+
+The term bucket uses an md5-prefix hash (not ``F.hash``) so the
+driver can compute a query term's bucket WITHOUT a Spark job — the
+same digest is available in Python and as a codegen'd JVM expression.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TERM_BKT = "term_bkt"
+
+
+def term_bucket_col(term_col, n_term_partitions: int):
+    """JVM-side term bucket: first 8 hex chars of md5, mod n."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_term_partitions),
+    )
+
+
+def term_bucket_py(term: str, n_term_partitions: int) -> int:
+    """Driver-side twin of :func:`term_bucket_col` — same digest, no
+    Spark job (the bucket ids for a query's terms are computed here
+    and pushed as partition filters)."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % (
+        n_term_partitions
+    )
+
+
+@dataclass
+class DocBucketedPostings:
+    """Handle to one written doc-sharded postings table."""
+
+    spark: SparkSession
+    table: str
+    n_term_partitions: int
+    n_buckets: int
+
+    def postings_for_terms(self, field: str, terms: list[str]) -> DataFrame:
+        """Pruned scan: only the query terms' partition dirs are read
+        (partition filters on field + term_bkt), and the result keeps
+        the bucketed-by-doc_id distribution — the downstream
+        groupBy/join on doc_id plans with zero Exchanges."""
+        bkts = sorted({term_bucket_py(t, self.n_term_partitions)
+                       for t in terms})
+        t = self.spark.table(self.table)
+        tcond = (F.col("term") == terms[0] if len(terms) == 1
+                 else F.col("term").isin(terms))
+        return (
+            t.filter(
+                (F.col("field") == field)
+                & F.col(TERM_BKT).isin(bkts)
+                & tcond
+            )
+            .drop(TERM_BKT)
+        )
+
+
+def write_doc_bucketed(
+    postings: DataFrame,
+    path: str,
+    table: str | None = None,
+    n_term_partitions: int = 16,
+    n_buckets: int = 32,
+) -> DocBucketedPostings:
+    """Write ``postings`` (field, term, doc_id, tf, positions[,
+    doc_len]) in the doc-sharded layout at ``path``.
+
+    One shuffle at WRITE time (bucketBy clusters rows by doc_id) buys
+    exchange-free multi-term queries forever after — the same trade
+    the term-sorted segment write already makes for single-term
+    lookups.  ``path`` is explicit (external table) so the session's
+    warehouse dir is never touched; the table entry lives in the
+    session catalog only.
+    """
+    spark = postings.sparkSession
+    if table is None:
+        table = f"toshi_docb_{uuid.uuid4().hex[:12]}"
+    staged = postings.withColumn(
+        TERM_BKT, term_bucket_col(F.col("term"), n_term_partitions)
+    )
+    # Spark's bucketed write shuffles NOTHING on its own: every input
+    # task writes its own file per (partition dir x bucket), so T tasks
+    # x P dirs x B buckets explodes into tiny files (measured 65k files
+    # / 113 s for a 20k-doc corpus).  Pre-repartition on exactly the
+    # file grain — (field, term_bkt, Spark's own bucket hash of doc_id,
+    # i.e. pmod(murmur3, B) which is what F.hash computes) — so each
+    # (dir, bucket) pair is ONE task writing ONE file.
+    staged = staged.repartition(
+        n_term_partitions * n_buckets,
+        F.col("field"), F.col(TERM_BKT),
+        F.pmod(F.hash("doc_id"), F.lit(n_buckets)),
+    )
+    (
+        staged.write.mode("overwrite")
+        .partitionBy("field", TERM_BKT)
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return DocBucketedPostings(
+        spark=spark, table=table,
+        n_term_partitions=n_term_partitions, n_buckets=n_buckets,
+    )

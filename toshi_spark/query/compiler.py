@@ -62,6 +62,14 @@ class Compiler:
     # -------------------------------------------------------------- leafs
 
     def _postings_for_terms(self, field: str, terms: list[str]) -> DataFrame:
+        # multi-term scans feed a doc_id intersection/union — when the
+        # index carries a doc-sharded postings copy (index/bucketed.py)
+        # the bucketed scan satisfies that grouping's distribution and
+        # the corpus-scale Exchange disappears.  Single-term lookups
+        # stay on the (field, term)-sorted layout, which prunes harder.
+        docb = getattr(self.ctx, "doc_bucketed", None)
+        if docb is not None and len(terms) > 1:
+            return docb.postings_for_terms(field, terms)
         p = self.ctx.postings
         cond = F.col("field") == field
         if len(terms) == 1:
@@ -218,16 +226,25 @@ class Compiler:
             expanded = self._expand_dict(q.field, pred)
         else:
             # Damerau-Levenshtein (adjacent transposition counts as 1):
-            # no Spark built-in → Arrow-batched pandas UDF over the term
-            # dictionary (dict ≪ postings, so this stays cheap).
+            # no Spark built-in, but dam(t,v) ≤ d ⇒ lev(t,v) ≤ 2d (a
+            # transposition is at most two plain edits), so the JVM
+            # levenshtein bounds the sweep — and terms with lev ≤ d are
+            # already within (dam ≤ lev) without any Python check.  The
+            # Arrow-batched pandas UDF only adjudicates the d < lev ≤ 2d
+            # shell, a handful of terms instead of the length-band slice
+            # of the dictionary.
             value, dist = q.value, q.distance
+            lev = F.levenshtein(F.col("term"), F.lit(value))
+            candidates = self._expand_dict(
+                q.field, len_pred & (lev <= 2 * dist)
+            )
 
             @F.pandas_udf("boolean")
             def within(terms: pd.Series) -> pd.Series:
                 return terms.map(lambda t: _damerau(t, value, dist) <= dist)
 
-            expanded = self._expand_dict(
-                q.field, len_pred & within(F.col("term"))
+            expanded = candidates.filter(
+                (lev <= dist) | within(F.col("term"))
             )
         return self._const_score_for_terms(expanded)
 
