@@ -40,7 +40,6 @@ BENCH_QUERIES = [
     "ft_raw_wildcard",
     "ft_blockmax_topk",
     "ft_segmented_term_bm25",
-    "minhash_signatures",
     "embedding_neardup",
     "dedup_clusters",
     "sample_stratified",

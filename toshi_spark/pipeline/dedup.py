@@ -111,31 +111,34 @@ def minhash_signatures(
     return _signatures_from_tokens(base, n_hashes, shingle_k)
 
 
-def _signatures_from_tokens(
-    toks: DataFrame, n_hashes: int, shingle_k: int
+def add_minhash_cols(
+    docs: DataFrame,
+    toks_col: str,
+    n_hashes: int = 8,
+    shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signature kernel over a (doc_id, _toks) table — split
-    out so a fused pipeline (``minhash_dedup``) can tokenize ONCE and
-    feed both the signature and the shingle-verify stages from the
-    same persisted token table instead of re-scanning the corpus."""
+    """Append mh_0..mh_{n-1} signature columns to ``docs`` — map-only,
+    every existing column passes through (so a fused per-doc profile
+    can carry the signature without a join-back, which would be a
+    doc_id exchange).  Docs with an EMPTY/NULL token array get NULL
+    signatures (the row-dropping form below filters them instead; the
+    composed oracles LEFT JOIN, so both conventions agree)."""
     zero = F.lit(0).cast("long")
-    base = toks.filter(F.size("_toks") > 0)
-    m = F.transform(F.col("_toks"),
+    m = F.transform(F.col(toks_col),
                     lambda t: F.md5(F.encode(t, "utf-8")))
-    with_h = base.select(
-        "doc_id",
-        F.transform(
+    with_h = docs.withColumns({
+        "_mh_a": F.transform(
             m, lambda s: F.conv(F.substring(s, 1, 7), 16, 10).cast("long")
-        ).alias("_a"),
-        F.transform(
+        ),
+        "_mh_b": F.transform(
             m, lambda s: F.conv(F.substring(s, 9, 7), 16, 10).cast("long")
-        ).alias("_b"),
-    )
+        ),
+    })
     # complete k-windows only (0..n-k), except the head window of a
     # shorter-than-k doc, whose missing terms pad with 0
     idxs = F.sequence(
         F.lit(0),
-        F.greatest(F.size("_a") - F.lit(shingle_k), F.lit(0)),
+        F.greatest(F.size("_mh_a") - F.lit(shingle_k), F.lit(0)),
     )
 
     def poly(arr: str, mult: int):
@@ -150,23 +153,38 @@ def _signatures_from_tokens(
 
         return F.transform(idxs, lambda j: h(j))
 
-    sh = with_h.select(
-        "doc_id",
-        poly("_a", 131).alias("_h1"),
-        F.transform(
-            poly("_b", 137), lambda x: x.bitwiseOR(F.lit(1).cast("long"))
-        ).alias("_h2"),
-    )
-    aggs = [
-        F.array_min(
-            F.zip_with(
-                F.col("_h1"), F.col("_h2"),
-                lambda x, y: x + F.lit(i).cast("long") * y,
-            )
-        ).alias(f"mh_{i}")
+    sh = with_h.withColumns({
+        "_mh_h1": poly("_mh_a", 131),
+        "_mh_h2": F.transform(
+            poly("_mh_b", 137), lambda x: x.bitwiseOR(F.lit(1).cast("long"))
+        ),
+    })
+    nonempty = F.size(F.col(toks_col)) > 0
+    out = sh.withColumns({
+        f"mh_{i}": F.when(
+            nonempty,
+            F.array_min(
+                F.zip_with(
+                    F.col("_mh_h1"), F.col("_mh_h2"),
+                    lambda x, y: x + F.lit(i).cast("long") * y,
+                )
+            ),
+        )
         for i in range(n_hashes)
-    ]
-    return sh.select("doc_id", *aggs)
+    })
+    return out.drop("_mh_a", "_mh_b", "_mh_h1", "_mh_h2")
+
+
+def _signatures_from_tokens(
+    toks: DataFrame, n_hashes: int, shingle_k: int
+) -> DataFrame:
+    """MinHash signature kernel over a (doc_id, _toks) table — split
+    out so a fused pipeline (``minhash_dedup``) can tokenize ONCE and
+    feed both the signature and the shingle-verify stages from the
+    same persisted token table instead of re-scanning the corpus."""
+    base = toks.filter(F.size("_toks") > 0)
+    out = add_minhash_cols(base, "_toks", n_hashes, shingle_k)
+    return out.select("doc_id", *[f"mh_{i}" for i in range(n_hashes)])
 
 
 def band_buckets(

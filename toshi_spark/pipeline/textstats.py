@@ -694,6 +694,7 @@ def text_profile(
     text_col: str = "text",
     simhash_bits: int = 16,
     toks_col: str | None = None,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """The full per-document text profile in ONE corpus scan: token
     counts (whitespace / alnum-run / BPE-ish), language-ID heuristic,
@@ -724,7 +725,12 @@ def text_profile(
     ``toks_col`` — pre-tokenized column on ``docs`` (the shared
     analyzed-corpus artifact): skips the scan-side re-tokenize; the
     char-level stats still read ``text_col``.
+
+    ``passthrough`` — input columns carried into the output unchanged
+    (e.g. map-only signature columns computed upstream in the SAME
+    scan — a join-back would cost a doc_id exchange).
     """
+    passthrough = passthrough or []
     toks = F.col(toks_col) if toks_col is not None else tokens_col(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -754,6 +760,7 @@ def text_profile(
     )
     stats = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
+        *passthrough,
         F.col(text_col),
         toks.alias("_toks"),
         F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("n_ws"),
@@ -783,4 +790,5 @@ def text_profile(
         F.round("ttr_raw", 4).alias("ttr"),
         F.round("entropy_raw", 4).alias("entropy"),
         "simhash", "fingerprint",
+        *passthrough,
     )

@@ -587,12 +587,16 @@ docs_aug AS (
 )
 """
 
-_SHINGLES_SQL = """
+def _shingles_sql(src: str) -> str:
+    """The shingle→double-hash CTE chain over any (doc_id, text)
+    source — shared by the docs_aug dedup oracles and the plain-docs
+    fused profile oracle."""
+    return f"""
 aug_arr AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      t -> t <> '') AS a
-  FROM docs_aug
+  FROM {src}
 ),
 aug_sh AS (
   SELECT doc_id,
@@ -625,6 +629,9 @@ shhash AS (
   FROM tokw WHERE a2 IS NOT NULL OR pos = 0
 )
 """
+
+
+_SHINGLES_SQL = _shingles_sql("docs_aug")
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2836,11 +2843,21 @@ QUERIES["fuzzy_contamination"] = q_fuzzy_contamination
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-doc text profile: all stat families in one scan
     (pipeline.textstats.text_profile) — token counts, lang-ID,
-    quality, repetition, entropy/TTR, SimHash, fingerprint."""
+    quality, repetition, entropy/TTR, SimHash, fingerprint, and (round
+    7, absorbing the `minhash_signatures` driver key to hold the
+    50-key contract) the 4-hash MinHash signature — the signature
+    stages run map-only in the SAME scan via `add_minhash_cols` +
+    `passthrough`, never a join-back."""
+    from .pipeline.dedup import add_minhash_cols
     from .pipeline.textstats import text_profile
 
-    return text_profile(analyzed_corpus(spark, sf_dir),
-                        simhash_bits=16, toks_col="toks")
+    docs = add_minhash_cols(
+        analyzed_corpus(spark, sf_dir), toks_col="toks", n_hashes=4
+    )
+    return text_profile(
+        docs, simhash_bits=16, toks_col="toks",
+        passthrough=[f"mh_{i}" for i in range(4)],
+    )
 
 
 _TP_SELECT = """
@@ -2850,7 +2867,8 @@ SELECT tp_tc.doc_id, tp_tc.n_ws, tp_tc.n_tokens, tp_tc.n_bpe,
        tp_q.digit_ratio, tp_q.quality,
        tp_rep.dup_line_frac, tp_rep.top_bigram_frac,
        tp_ue.n_types, tp_ue.ttr, tp_ue.entropy,
-       tp_sh.simhash, tp_fp.fingerprint
+       tp_sh.simhash, tp_fp.fingerprint,
+       tp_mh.mh_0, tp_mh.mh_1, tp_mh.mh_2, tp_mh.mh_3
 FROM tp_tc
 JOIN tp_li USING (doc_id)
 JOIN tp_q USING (doc_id)
@@ -2858,8 +2876,13 @@ JOIN tp_rep USING (doc_id)
 JOIN tp_ue USING (doc_id)
 JOIN tp_sh USING (doc_id)
 JOIN tp_fp USING (doc_id)
+LEFT JOIN tp_mh USING (doc_id)
 """
 
+# tp_mh LEFT JOIN: the signature CTE has no row for an empty-token doc
+# (GROUP BY over zero shingle rows), while the Spark column form emits
+# NULL signatures for those docs — LEFT JOIN makes both conventions
+# produce NULL columns.
 ORACLES["text_profile"] = f"""
 WITH tp_tc AS ({ORACLES["token_count"]}),
 tp_li AS ({ORACLES["lang_id"]}),
@@ -2867,7 +2890,11 @@ tp_q AS ({ORACLES["quality"]}),
 tp_rep AS ({ORACLES["repetition"]}),
 tp_ue AS ({ORACLES["unigram_entropy"]}),
 tp_sh AS ({ORACLES["simhash"]}),
-tp_fp AS ({ORACLES["fingerprint"]})
+tp_fp AS ({ORACLES["fingerprint"]}),
+{_shingles_sql("documents").strip()},
+tp_mh AS (
+  SELECT doc_id, {_mh_sql_cols(4)} FROM shhash GROUP BY doc_id
+)
 {_TP_SELECT}
 """
 QUERIES["text_profile"] = q_text_profile
@@ -3095,6 +3122,12 @@ _ABSORBED = [
     "url_canonicalize",
     "multimodal_meta", "multimodal_features", "multimodal_resize",
     "multimodal_decode",
+    # round 7: ft_unicode_term joined the contract; the driver records
+    # only the FIRST 50 keys (CORRECTNESS_r05 dropped the tail 11), so
+    # the per-doc map-only MinHash signature folds into text_profile's
+    # fused scan (mh_0..mh_3 columns, oracle embedded verbatim) to keep
+    # the attested set at exactly 50 — same move as the r6 fusions.
+    "minhash_signatures",
 ]
 for _k in _ABSORBED:
     QUERIES.pop(_k, None)
