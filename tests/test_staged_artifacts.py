@@ -11,9 +11,12 @@ covers the same wiring against DuckDB at sf0.01).
 from pyspark.sql import functions as F
 
 from toshi_spark.queries import (
+    _CORPUS_CACHE,
+    _PAIRS_CACHE,
     _STAGE_CACHE,
     _get_verified_pairs,
     analyzed_corpus,
+    release_session_artifacts,
     staged_clusters,
 )
 
@@ -70,6 +73,22 @@ def test_mix_stable_across_artifact_cache(spark):
     second = rows(q_assemble_training_mix(spark, SF))
     assert first == second
     assert len(first) > 0
+
+
+def test_release_session_artifacts(spark):
+    """The serving-process knob: release drops every artifact for THIS
+    context, results are identical after a lazy rebuild."""
+    from toshi_spark.queries import q_dedup_survivors
+
+    before = rows(q_dedup_survivors(spark, SF))  # populates artifacts
+    sc_id = id(spark.sparkContext)
+    assert any(k[1] == sc_id for k in _CORPUS_CACHE)
+    n = release_session_artifacts(spark)
+    assert n >= 2  # at least corpus + one staged artifact
+    for cache, pos in ((_CORPUS_CACHE, 1), (_PAIRS_CACHE, 1),
+                       (_STAGE_CACHE, 2)):
+        assert not [k for k in cache if k[pos] == sc_id]
+    assert rows(q_dedup_survivors(spark, SF)) == before  # rebuilds
 
 
 def test_mix_selected_artifact_matches_live_filters(spark):

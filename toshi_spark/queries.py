@@ -1745,6 +1745,36 @@ def staged_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def release_session_artifacts(spark: SparkSession) -> int:
+    """Drop THIS session's staged pipeline artifacts — tokens corpora,
+    verified near-dup pairs, staged clusters / filtered mix corpus —
+    and unpersist their executor blocks.  The knob a long-lived
+    serving process turns between corpus versions: BASELINE.md round 7
+    measured 0.4-0.6 s of late-query "session aging" once one session
+    holds every artifact at once, and without an explicit release the
+    persisted pairs table lives in CacheManager until the session
+    dies.  Index handles are NOT touched (the catalog keys them by
+    commit fingerprint and refreshes them itself).  Returns the number
+    of artifacts released; the next consumer rebuilds lazily."""
+    sc_id = id(spark.sparkContext)
+    n = 0
+    for cache, key_sc in (
+        (_CORPUS_CACHE, lambda k: k[1]),
+        (_PAIRS_CACHE, lambda k: k[1]),
+        (_STAGE_CACHE, lambda k: k[2]),
+    ):
+        for k in [k for k in cache if key_sc(k) == sc_id]:
+            df = cache.pop(k)
+            try:
+                # persisted frames leave CacheManager now; checkpoint
+                # blocks are freed when the unreferenced RDD is GC'd
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+            n += 1
+    return n
+
+
 ORACLES["dedup_clusters"] = f"""
 WITH RECURSIVE pr AS ({ORACLES["ngram_jaccard"]}),
 edges AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
