@@ -111,3 +111,29 @@ def test_single_term_keeps_term_sorted_layout(spark, tmp_path):
         str(tmp_path / "docb"), n_term_partitions=8, n_buckets=4)
     plan = _plan(ix.search_df(parse_search(TERM)))
     assert "toshi_docb" not in plan, plan
+
+
+def test_attach_written_copy_in_new_session(spark, tmp_path):
+    """Cross-session durability: write the copy, drop its catalog
+    entry (what a session restart does — the in-memory catalog dies
+    with the session, the files do not), attach via DDL, and pin that
+    the attached table serves the same rows on the same exchange-free
+    bucketed plan."""
+    ix = _search_index(spark, tmp_path)
+    path = str(tmp_path / "docb")
+    ix.enable_doc_bucketed(path, n_term_partitions=8, n_buckets=4)
+    want = {name: _rows(ix.search_df(parse_search(q)))
+            for name, q in [("phrase", PHRASE), ("bool", BOOL)]}
+    spark.sql(f"DROP TABLE {ix.doc_bucketed.table}")
+    ix.doc_bucketed = None
+
+    ix.attach_doc_bucketed(path)
+    # sidecar, not caller, supplies the layout
+    assert ix.doc_bucketed.n_term_partitions == 8
+    assert ix.doc_bucketed.n_buckets == 4
+    for name, q in [("phrase", PHRASE), ("bool", BOOL)]:
+        df = ix.search_df(parse_search(q))
+        keys = _hash_exchanges(df)
+        assert not [k for k in keys if k.startswith("doc_id")], keys
+        assert "Bucketed: true" in _plan(df)
+        assert _rows(df) == want[name], name

@@ -125,6 +125,15 @@ class FullTextIndex:
         )
         return self
 
+    def attach_doc_bucketed(self, path: str) -> "FullTextIndex":
+        """Attach a doc-sharded copy WRITTEN BY A PRIOR SESSION
+        (metadata-only DDL; bucket spec from the layout sidecar) —
+        write once at ingest, attach at every open."""
+        from .index.bucketed import attach_doc_bucketed
+
+        self.doc_bucketed = attach_doc_bucketed(self.spark, path)
+        return self
+
     @classmethod
     def build(
         cls,

@@ -38,12 +38,15 @@ same digest is available in Python and as a codegen'd JVM expression.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TERM_BKT = "term_bkt"
+_META_FILE = "_docb_meta.json"
 
 
 def term_bucket_col(term_col, n_term_partitions: int):
@@ -136,7 +139,51 @@ def write_doc_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+    # layout sidecar: attach_doc_bucketed in a LATER session re-derives
+    # the bucket spec from here instead of trusting its caller (a wrong
+    # n_term_partitions would silently prune the wrong dirs)
+    with open(os.path.join(path, _META_FILE), "w") as f:
+        json.dump({"n_term_partitions": n_term_partitions,
+                   "n_buckets": n_buckets}, f)
     return DocBucketedPostings(
         spark=spark, table=table,
         n_term_partitions=n_term_partitions, n_buckets=n_buckets,
+    )
+
+
+def attach_doc_bucketed(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+) -> DocBucketedPostings:
+    """Re-register an ALREADY-WRITTEN doc-sharded copy in this session
+    — the cross-session half of the dial: the copy is written once at
+    ingest (write_doc_bucketed) and every later serving session
+    attaches it with metadata-only DDL (CREATE TABLE ... CLUSTERED BY
+    ... LOCATION + partition recovery), never rewriting data.  The
+    bucket spec comes from the layout sidecar the writer left at
+    ``path``; the data schema is inferred from the files themselves so
+    optional columns (inline doc_len) attach unchanged."""
+    with open(os.path.join(path, _META_FILE)) as f:
+        meta = json.load(f)
+    if table is None:
+        table = f"toshi_docb_{uuid.uuid4().hex[:12]}"
+    inferred = spark.read.parquet(path).schema
+    data_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in inferred.fields if f.name not in ("field", TERM_BKT)
+    )
+    spark.sql(
+        f"CREATE TABLE {table} ({data_ddl}, field STRING, "
+        f"{TERM_BKT} BIGINT) USING parquet "
+        f"PARTITIONED BY (field, {TERM_BKT}) "
+        f"CLUSTERED BY (doc_id) SORTED BY (doc_id) "
+        f"INTO {meta['n_buckets']} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {table}")
+    return DocBucketedPostings(
+        spark=spark, table=table,
+        n_term_partitions=meta["n_term_partitions"],
+        n_buckets=meta["n_buckets"],
     )
