@@ -15,6 +15,7 @@ from toshi_spark.queries import (
     _PAIRS_CACHE,
     _STAGE_CACHE,
     _get_verified_pairs,
+    _stage_key,
     analyzed_corpus,
     release_session_artifacts,
     staged_clusters,
@@ -28,7 +29,7 @@ def rows(df):
 
 
 def _evict(spark, stage):
-    _STAGE_CACHE.pop((stage, SF, id(spark.sparkContext)), None)
+    _STAGE_CACHE.pop(_stage_key(stage, SF, spark), None)
 
 
 def test_staged_clusters_bit_identical_to_live(spark):
@@ -69,7 +70,7 @@ def test_mix_stable_across_artifact_cache(spark):
 
     _evict(spark, "atm_selected")
     first = rows(q_assemble_training_mix(spark, SF))
-    assert ("atm_selected", SF, id(spark.sparkContext)) in _STAGE_CACHE
+    assert _stage_key("atm_selected", SF, spark) in _STAGE_CACHE
     second = rows(q_assemble_training_mix(spark, SF))
     assert first == second
     assert len(first) > 0
@@ -105,7 +106,7 @@ def test_mix_selected_artifact_matches_live_filters(spark):
 
     _evict(spark, "atm_selected")
     q_assemble_training_mix(spark, SF).collect()  # populate
-    art = _STAGE_CACHE[("atm_selected", SF, id(spark.sparkContext))]
+    art = _STAGE_CACHE[_stage_key("atm_selected", SF, spark)]
 
     aug = analyzed_corpus(spark, SF, augmented=True)
     keep_g = gopher_filter(aug, toks_col="toks").filter(

@@ -18,7 +18,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .checkpoint import phase_checkpoint
+import os
+
+from .checkpoint import ENV_VAR as _CKPT_ENV, phase_checkpoint
 from .engine import FullTextIndex
 from .index.builder import build_index
 from .query.dsl import parse_search
@@ -62,7 +64,7 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lifecycles: executor blocks in-session, a durable parquet artifact
 # under TOSHI_SPARK_CHECKPOINT_DIR at crawl scale.
 
-_CORPUS_CACHE: dict[tuple[str, int, bool], DataFrame] = {}
+_CORPUS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def analyzed_corpus(
@@ -70,10 +72,15 @@ def analyzed_corpus(
 ) -> DataFrame:
     """(doc_id, text, toks) materialized once per (sf_dir, session);
     ``augmented=True`` is the dup-injected variant the near-dup
-    queries share (see ``_docs_with_dups``)."""
+    queries share (see ``_docs_with_dups``).  The checkpoint MODE
+    (memory vs TOSHI_SPARK_CHECKPOINT_DIR parquet) is part of the
+    cache key: flipping the dial mid-session builds the artifact in
+    the newly-requested lifecycle instead of silently serving the
+    old one."""
     from .pipeline.corpus import with_tokens
 
-    key = (sf_dir, id(spark.sparkContext), augmented)
+    key = (sf_dir, id(spark.sparkContext), augmented,
+           os.environ.get(_CKPT_ENV))
     got = _CORPUS_CACHE.get(key)
     if got is None:
         base = (
@@ -1720,11 +1727,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gopher_filter/contamination for the filters).  These caches are the
 # session-scoped form of that contract, same lifecycle as the tokens
 # artifact (analyzed_corpus) and the eval-ngram artifact.
-_STAGE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_STAGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _stage_key(stage: str, sf_dir: str, spark: SparkSession) -> tuple:
+    # checkpoint mode in the key, same reason as analyzed_corpus
+    return (stage, sf_dir, id(spark.sparkContext),
+            os.environ.get(_CKPT_ENV))
 
 
 def _staged(spark: SparkSession, sf_dir: str, stage: str, build) -> DataFrame:
-    key = (stage, sf_dir, id(spark.sparkContext))
+    key = _stage_key(stage, sf_dir, spark)
     got = _STAGE_CACHE.get(key)
     if got is None:
         got = phase_checkpoint(build(), stage)
