@@ -113,6 +113,68 @@ def test_single_term_keeps_term_sorted_layout(spark, tmp_path):
     assert "toshi_docb" not in plan, plan
 
 
+def test_catalog_doc_sharded_lifecycle(spark, tmp_path):
+    """The production wiring: build_doc_sharded stamps the copy with
+    the manifest fingerprint; open() attaches it while the stamp
+    matches; committed deletes filter at read (copy stays); new
+    segments make the stale copy fall away until rebuilt."""
+    from toshi_spark.index.catalog import IndexCatalog
+
+    cat = IndexCatalog(spark, str(tmp_path))
+    cat.create_index("dsx", [{"name": "text", "ftype": "text",
+                              "stored": False, "indexed": True}],
+                     merge_policy={"kind": "none"})
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta tok{i}") for i in range(60)])
+    cat.ingest("dsx", docs, fingerprint="c1")
+
+    ix0 = cat.open("dsx")
+    assert ix0.doc_bucketed is None
+    df0 = ix0.search_df(parse_search(PHRASE))
+    want = _rows(df0)
+    assert len(want) == 60
+    doc_exch_before = [k for k in _hash_exchanges(df0)
+                       if k.startswith("doc_id")]
+
+    cat.build_doc_sharded("dsx", n_term_partitions=8, n_buckets=4)
+    ix1 = cat.open("dsx")
+    assert ix1.doc_bucketed is not None
+    df = ix1.search_df(parse_search(PHRASE))
+    doc_exch_after = [k for k in _hash_exchanges(df)
+                      if k.startswith("doc_id")]
+    # the phrase-grouping exchange is gone; what remains is the
+    # stored-field-less catalog's row-store fallback (doclens
+    # .distinct() stands in for the corpus), which is orthogonal to
+    # the postings layout
+    assert len(doc_exch_after) == len(doc_exch_before) - 1, (
+        doc_exch_before, doc_exch_after)
+    assert "Bucketed: true" in _plan(df)
+    assert _rows(df) == want
+
+    # committed delete: manifest unchanged -> copy stays attached,
+    # the tombstoned doc vanishes from the bucketed read path
+    assert cat.delete_term("dsx", {"text": "tok7"}, commit=True) == 1
+    ix2 = cat.open("dsx")
+    assert ix2.doc_bucketed is not None
+    got = _rows(ix2.search_df(parse_search(PHRASE)))
+    assert got == [r for r in want if r[0] != 7]
+
+    # new segments: the stale copy falls away (correct-but-slower)
+    cat.ingest("dsx", spark.createDataFrame(
+        [Row(doc_id=100 + i, text="alpha beta fresh") for i in range(5)]),
+        fingerprint="c2")
+    ix3 = cat.open("dsx")
+    assert ix3.doc_bucketed is None
+    got3 = _rows(ix3.search_df(parse_search(PHRASE)))
+    assert len(got3) == len(got) + 5
+
+    # rebuild re-stamps; attach returns, results identical
+    cat.build_doc_sharded("dsx", n_term_partitions=8, n_buckets=4)
+    ix4 = cat.open("dsx")
+    assert ix4.doc_bucketed is not None
+    assert _rows(ix4.search_df(parse_search(PHRASE))) == got3
+
+
 def test_attach_written_copy_in_new_session(spark, tmp_path):
     """Cross-session durability: write the copy, drop its catalog
     entry (what a session restart does — the in-memory catalog dies

@@ -74,18 +74,30 @@ class DocBucketedPostings:
     table: str
     n_term_partitions: int
     n_buckets: int
+    # committed deletes, applied at READ time: the copy stores raw
+    # segment postings, so tombstoning a doc never invalidates it
+    tombstones: DataFrame | None = None
+
+    def with_tombstones(self, tomb: DataFrame | None) -> "DocBucketedPostings":
+        return DocBucketedPostings(
+            spark=self.spark, table=self.table,
+            n_term_partitions=self.n_term_partitions,
+            n_buckets=self.n_buckets, tombstones=tomb,
+        )
 
     def postings_for_terms(self, field: str, terms: list[str]) -> DataFrame:
         """Pruned scan: only the query terms' partition dirs are read
         (partition filters on field + term_bkt), and the result keeps
         the bucketed-by-doc_id distribution — the downstream
-        groupBy/join on doc_id plans with zero Exchanges."""
+        groupBy/join on doc_id plans with zero Exchanges (a broadcast
+        anti-join for tombstones preserves the streamed side's
+        partitioning, so deletes don't cost the exchange back)."""
         bkts = sorted({term_bucket_py(t, self.n_term_partitions)
                        for t in terms})
         t = self.spark.table(self.table)
         tcond = (F.col("term") == terms[0] if len(terms) == 1
                  else F.col("term").isin(terms))
-        return (
+        out = (
             t.filter(
                 (F.col("field") == field)
                 & F.col(TERM_BKT).isin(bkts)
@@ -93,6 +105,19 @@ class DocBucketedPostings:
             )
             .drop(TERM_BKT)
         )
+        if self.tombstones is not None:
+            out = out.join(F.broadcast(self.tombstones), "doc_id",
+                           "left_anti")
+        return out
+
+
+def read_docb_meta(path: str) -> dict | None:
+    """The layout sidecar at ``path``, or None if no copy lives there."""
+    p = os.path.join(path, _META_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def write_doc_bucketed(
@@ -101,6 +126,7 @@ def write_doc_bucketed(
     table: str | None = None,
     n_term_partitions: int = 16,
     n_buckets: int = 32,
+    extra_meta: dict | None = None,
 ) -> DocBucketedPostings:
     """Write ``postings`` (field, term, doc_id, tf, positions[,
     doc_len]) in the doc-sharded layout at ``path``.
@@ -144,7 +170,7 @@ def write_doc_bucketed(
     # n_term_partitions would silently prune the wrong dirs)
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump({"n_term_partitions": n_term_partitions,
-                   "n_buckets": n_buckets}, f)
+                   "n_buckets": n_buckets, **(extra_meta or {})}, f)
     return DocBucketedPostings(
         spark=spark, table=table,
         n_term_partitions=n_term_partitions, n_buckets=n_buckets,
@@ -168,6 +194,13 @@ def attach_doc_bucketed(
         meta = json.load(f)
     if table is None:
         table = f"toshi_docb_{uuid.uuid4().hex[:12]}"
+    if spark.catalog.tableExists(table):
+        # already attached in this session (repeated open()) — reuse
+        return DocBucketedPostings(
+            spark=spark, table=table,
+            n_term_partitions=meta["n_term_partitions"],
+            n_buckets=meta["n_buckets"],
+        )
     inferred = spark.read.parquet(path).schema
     data_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
