@@ -136,7 +136,11 @@ def test_analyzed_corpus_cached_per_session(spark):
     a = analyzed_corpus(spark, sf)
     b = analyzed_corpus(spark, sf)
     assert a is b, "second call must be the cached handle"
-    key = (sf, id(spark.sparkContext), False)
+    import os
+
+    from toshi_spark.checkpoint import ENV_VAR
+
+    key = (sf, id(spark.sparkContext), False, os.environ.get(ENV_VAR))
     assert key in _CORPUS_CACHE
     # the artifact plan is a materialized scan — no tokenizer re-run
     plan = a._jdf.queryExecution().executedPlan().toString()
