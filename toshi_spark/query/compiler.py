@@ -224,9 +224,27 @@ class Compiler:
                 F.levenshtein(F.col("term"), F.lit(q.value)) <= q.distance
             )
             expanded = self._expand_dict(q.field, pred)
+        elif q.distance == 1:
+            # Damerau at distance 1 is FULLY JVM-expressible: dam ≤ 1
+            # ⇔ lev ≤ 1 OR the term is the value with one adjacent
+            # transposition — and the query value is a literal, so its
+            # ≤len-1 swap variants enumerate driver-side.  No Python
+            # worker in the plan (the pandas-UDF spin-up, not the rows,
+            # was the cost of the fuzzy~1 path: 1.5 s vs 0.6 s for the
+            # plain-Levenshtein twin at sf0.1).
+            value = q.value
+            swaps = sorted({
+                value[:i] + value[i + 1] + value[i] + value[i + 2:]
+                for i in range(len(value) - 1)
+                if value[i] != value[i + 1]
+            })
+            pred = F.levenshtein(F.col("term"), F.lit(value)) <= 1
+            if swaps:
+                pred = pred | F.col("term").isin(swaps)
+            expanded = self._expand_dict(q.field, len_pred & pred)
         else:
-            # Damerau-Levenshtein (adjacent transposition counts as 1):
-            # no Spark built-in, but dam(t,v) ≤ d ⇒ lev(t,v) ≤ 2d (a
+            # Damerau-Levenshtein at distance 2 (Lucene's cap): no
+            # Spark built-in, but dam(t,v) ≤ d ⇒ lev(t,v) ≤ 2d (a
             # transposition is at most two plain edits), so the JVM
             # levenshtein bounds the sweep — and terms with lev ≤ d are
             # already within (dam ≤ lev) without any Python check.  The
