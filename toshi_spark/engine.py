@@ -144,14 +144,21 @@ class FullTextIndex:
         name: str = "index",
         cache: bool = True,
         quantize_fieldnorms: bool = False,
+        cache_partitions: int | None = None,
     ) -> "FullTextIndex":
         text_fields = [f.name for f in schema.text_fields()]
         tables = build_index(
             corpus, id_col=id_col, text_fields=text_fields, cache=cache,
             tokenizers={f.name: f.tokenizer for f in schema.text_fields()},
             quantize_fieldnorms=quantize_fieldnorms,
+            cache_partitions=cache_partitions,
         )
         if cache:
+            # the cached row store obeys the same partition rule as the
+            # index tables (see build_index's cache_partitions doc)
+            if (cache_partitions is not None
+                    and cache_partitions < corpus.rdd.getNumPartitions()):
+                corpus = corpus.repartition(cache_partitions)
             corpus = corpus.persist()
         return cls(spark, schema, corpus, tables, id_col=id_col, name=name)
 

@@ -87,6 +87,7 @@ def build_index(
     cache: bool = True,
     tokenizers: dict[str, str] | None = None,
     quantize_fieldnorms: bool = False,
+    cache_partitions: int | None = None,
 ) -> IndexTables:
     """Build index tables over one or more text fields of a corpus.
 
@@ -102,6 +103,16 @@ def build_index(
 
     The analyzed intermediate feeds four consumers, so it is persisted
     (at segment-write time, parquet on disk plays this role instead).
+
+    ``cache_partitions`` — partition count for the CACHED serving
+    tables.  A corpus that was spread wide for the per-doc analyzer
+    (see ``queries._spread``) would otherwise persist one small cache
+    partition per core, and every warm query pays one task per cached
+    partition per plan branch — measured 2× latency on multi-branch
+    queries at local[32].  Pass the input's own scan-split count
+    (data-proportional: thousands at crawl scale, 1-2 on a one-row-
+    group test file) so the serving cache keeps size-derived
+    partitioning while the analyze stage keeps its parallelism.
     """
     if isinstance(text_fields, str):
         text_fields = [text_fields]
@@ -115,6 +126,9 @@ def build_index(
         analyzed = part if analyzed is None else analyzed.unionByName(part)
     assert analyzed is not None, "at least one text field required"
     if cache:
+        if (cache_partitions is not None
+                and cache_partitions < corpus.rdd.getNumPartitions()):
+            analyzed = analyzed.repartition(cache_partitions)
         analyzed = analyzed.persist()
     # doc_len rides ALONG in the postings row (the analyzer emits it
     # per (doc, term) anyway): BM25 then needs NO doclens join — the

@@ -238,35 +238,55 @@ def embedding_neardup_pairs(
         .select("vec_id", F.col("x.band").alias("band"),
                 F.col("x.bb").alias("bb"))
     )
-    from pyspark.sql.window import Window
-
-    sized = banded.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bb"))
-    ).filter(F.col("bucket_n") <= max_bucket_size)
+    # bucket-size skew cap via groupBy + BROADCAST join back: the
+    # (band, bb) count table is bounded by n_bands·2^r rows (the bit-
+    # bucket space is fixed by the parameters, NOT by corpus size), so
+    # the broadcast is scale-safe — unlike the previous
+    # Window.partitionBy(band, bb) count, which shuffled AND sorted
+    # every banded row just to attach a per-bucket count.
+    ok_buckets = (
+        banded.groupBy("band", "bb")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .select("band", "bb")
+    )
+    sized = banded.join(F.broadcast(ok_buckets), ["band", "bb"])
     a = sized.select("band", "bb", F.col("vec_id").alias("a"))
     b = sized.select("band", "bb", F.col("vec_id").alias("b"))
+    # NO .distinct() on the candidate stream: band collisions rarely
+    # repeat across bands, so the distinct removed almost nothing yet
+    # exchanged the full (quadratic-in-bucket-size) pair stream.  The
+    # exact cosine is computed per occurrence map-side (identical
+    # expression → identical value), the ≥threshold filter shrinks the
+    # stream to the true near-dups, and the dedup runs on THAT
+    # output-sized set instead.
     pairs = (
         a.join(b, ["band", "bb"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    # per-VECTOR norms hoisted out of the per-pair expression: one norm
+    # fold per vector instead of two per candidate pair (the fold is
+    # interpreted — at 5M candidates × dim 128 that is the verify cost)
     ea = emb.select(F.col(id_col).alias("a"),
                     _as_double(F.col(vec_col)).alias("va"))
+    ea = ea.select("a", "va",
+                   F.sqrt(_dot(F.col("va"), F.col("va"))).alias("na"))
     eb = emb.select(F.col(id_col).alias("b"),
                     _as_double(F.col(vec_col)).alias("vb"))
+    eb = eb.select("b", "vb",
+                   F.sqrt(_dot(F.col("vb"), F.col("vb"))).alias("nb"))
     joined = pairs.join(ea, "a").join(eb, "b")
     cos = joined.select(
         "a", "b",
         (
             _dot(F.col("va"), F.col("vb"))
-            / (F.sqrt(_dot(F.col("va"), F.col("va")))
-               * F.sqrt(_dot(F.col("vb"), F.col("vb"))))
+            / (F.col("na") * F.col("nb"))
         ).alias("cos_sim"),
     )
     return cos.filter(F.col("cos_sim") >= threshold).select(
         "a", "b", F.round("cos_sim", 4).alias("cos_sim")
-    )
+    ).distinct()
 
 
 def _collect_centroids(emb_with_cell: DataFrame, vec_col: str):

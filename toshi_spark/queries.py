@@ -40,14 +40,60 @@ DOC_SCHEMA = IndexSchema(
 _IX_CACHE: dict[tuple[str, int], FullTextIndex] = {}
 
 
-def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+_SPREAD_MEMO: dict[tuple, int] = {}
+
+
+def _spread(spark: SparkSession, df: DataFrame,
+            key: str | None = None) -> DataFrame:
+    """Repartition ONLY when the input has fewer splits than cores —
+    the test parquet is written as ONE row group per table, so every
+    scan of it is ONE task and each "map-only, fused into the scan"
+    operator (the right 100 TB shape) degenerates to serial execution;
+    production inputs have ≫cores splits and must NOT pay a
+    whole-corpus exchange (or a parallelism REDUCTION) here.
+
+    ``key`` memoizes the partition-count probe per (source, context,
+    parallelism) so repeated query invocations skip the plan→RDD
+    conversion (~30 ms of driver work per call otherwise)."""
+    par = spark.sparkContext.defaultParallelism
+    if key is not None:
+        memo = (key, id(spark.sparkContext), par)
+        n = _SPREAD_MEMO.get(memo)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SPREAD_MEMO[memo] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n < par:
+        return df.repartition(par)
+    return df
+
+
+def load_documents(spark: SparkSession, sf_dir: str,
+                   spread: bool = True) -> DataFrame:
+    """The documents table.  ``spread=True`` (default) applies the
+    scale-adaptive ``_spread`` so map-heavy consumers parallelize over
+    a one-row-group test file; pass ``spread=False`` from queries whose
+    FIRST operation is itself an exchange (groupBy/window on a cheap
+    projection) — there the extra round-robin exchange is pure cost."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         "text",
         "lang",
         "source",
         "n_chars",
         F.concat(F.lit("/src/"), F.col("source")).alias("src_facet"),
+    )
+    if spread:
+        return _spread(spark, df, key=f"{sf_dir}/documents")
+    return df
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(
+        spark,
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        key=f"{sf_dir}/embeddings",
     )
 
 
@@ -95,12 +141,28 @@ def analyzed_corpus(
     return got
 
 
+def _docs_cache_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Data-proportional partition count for cached serving tables:
+    the raw documents scan's own split count, BEFORE the ``_spread``
+    that exists only to parallelize per-doc analysis (thousands of
+    splits at crawl scale; 1-2 on a one-row-group test file).  Serving
+    caches partitioned per-core instead pay one task per cached
+    partition per plan branch on every warm query — measured 2×
+    latency on multi-branch queries at local[32]."""
+    memo = (f"{sf_dir}/documents", id(spark.sparkContext),
+            spark.sparkContext.defaultParallelism)
+    if memo not in _SPREAD_MEMO:
+        load_documents(spark, sf_dir)  # populates the memo
+    return max(1, _SPREAD_MEMO.get(memo, 1))
+
+
 def get_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
     key = (sf_dir, id(spark.sparkContext))
     if key not in _IX_CACHE:
         corpus = load_documents(spark, sf_dir)
         _IX_CACHE[key] = FullTextIndex.build(
-            spark, corpus, DOC_SCHEMA, id_col="doc_id", name="documents"
+            spark, corpus, DOC_SCHEMA, id_col="doc_id", name="documents",
+            cache_partitions=_docs_cache_partitions(spark, sf_dir),
         )
     return _IX_CACHE[key]
 
@@ -135,6 +197,7 @@ def get_quantized_index(spark: SparkSession, sf_dir: str) -> FullTextIndex:
         _QIX_CACHE[key] = FullTextIndex.build(
             spark, corpus, DOC_SCHEMA, id_col="doc_id", name="documents_q",
             quantize_fieldnorms=True,
+            cache_partitions=_docs_cache_partitions(spark, sf_dir),
         )
     return _QIX_CACHE[key]
 
@@ -267,7 +330,9 @@ def q_doclens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content, keep min doc_id per group."""
-    docs = load_documents(spark, sf_dir)
+    # shuffle-first (one groupBy over a cheap projection): spread would
+    # add a round-robin exchange of the payload for nothing
+    docs = load_documents(spark, sf_dir, spread=False)
     return (
         docs.groupBy(F.md5(F.encode(F.col("text"), "utf-8")).alias("content_hash"))
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
@@ -298,7 +363,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 embedding (ANN baseline)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_embeddings(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe")
     )
@@ -576,14 +641,16 @@ from .query.blockmax import blockmax_topk  # noqa: E402
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ 10 injected exact duplicates (ids shifted by 10000) —
     guarantees the near-dup queries have known positives."""
-    docs = load_documents(spark, sf_dir).select("doc_id", "text")
+    docs = load_documents(spark, sf_dir, spread=False).select(
+        "doc_id", "text"
+    )
     dups = docs.filter(F.col("doc_id") < 10).select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text"
     )
     # spread to full width when the input is under-split (see _spread):
     # the signature/shingle operators are map-only and would otherwise
     # run 2-wide over the small test parquet
-    return _spread(spark, docs.unionByName(dups))
+    return _spread(spark, docs.unionByName(dups), key=f"{sf_dir}/docs_aug")
 
 
 _DOCS_AUG_SQL = """
@@ -689,7 +756,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .pipeline.similarity import ivf_assign, ivf_cluster, ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "embedding"
     )
     key = (sf_dir, id(spark.sparkContext))
@@ -707,7 +774,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_embeddings(spark, sf_dir)
     return rh_signatures(emb, n_planes=8)
 
 
@@ -1187,7 +1254,7 @@ def _emb_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     recover the pair.  Cosine of a perturbed copy stays ≈ 0.9995,
     so the ≥ threshold path is exercised with real near-dups.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", "embedding"
     )
 
@@ -1361,7 +1428,8 @@ def _get_unicode_index(spark: SparkSession, sf_dir: str):
             .unionByName(extra)
         )
         _UIX_CACHE[key] = build_index(
-            corpus, id_col="doc_id", text_fields="text"
+            corpus, id_col="doc_id", text_fields="text",
+            cache_partitions=_docs_cache_partitions(spark, sf_dir),
         )
     return _UIX_CACHE[key]
 
@@ -1806,21 +1874,10 @@ QUERIES["dedup_clusters"] = q_dedup_clusters
 # --- Repetition signals (Gopher-style webtext filter) -------------------
 
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Repartition ONLY when the input has fewer splits than cores —
-    the small test parquet reads as 1-2 splits, starving map-only
-    operators; production inputs have ≫cores splits and must NOT pay
-    a whole-corpus exchange (or a parallelism REDUCTION) here."""
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
-
-
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.textstats import repetition_stats
 
-    return repetition_stats(_spread(spark, load_documents(spark, sf_dir)))
+    return repetition_stats(load_documents(spark, sf_dir))
 
 
 ORACLES["repetition"] = """
@@ -2066,7 +2123,8 @@ QUERIES["dedup_survivors"] = q_dedup_survivors
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_documents(spark, sf_dir)
+    # window-first on a cheap projection: no spread (see load_documents)
+    docs = load_documents(spark, sf_dir, spread=False)
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
@@ -2233,7 +2291,7 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reputation system keys on.  One map-side-combinable groupBy."""
     from .pipeline.webtext import canonicalize_urls
 
-    pages = load_documents(spark, sf_dir).select(
+    pages = load_documents(spark, sf_dir, spread=False).select(
         "doc_id", "n_chars", _synth_url_col().alias("url")
     )
     return (
@@ -2596,7 +2654,7 @@ QUERIES["unigram_entropy"] = q_unigram_entropy
 def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.webtext import canonicalize_urls, host_cap
 
-    pages = load_documents(spark, sf_dir).select(
+    pages = load_documents(spark, sf_dir, spread=False).select(
         "doc_id", _synth_url_col().alias("url")
     )
     return host_cap(canonicalize_urls(pages), cap=10).select(
@@ -2633,8 +2691,8 @@ QUERIES["host_cap"] = q_host_cap
 def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.training import mix_weights
 
-    return mix_weights(load_documents(spark, sf_dir), group_col="lang",
-                       alpha=0.3)
+    return mix_weights(load_documents(spark, sf_dir, spread=False),
+                       group_col="lang", alpha=0.3)
 
 
 ORACLES["mix_weights"] = """

@@ -25,7 +25,17 @@ def ship_package(spark: SparkSession) -> None:
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(tempfile.gettempdir(), "toshi_spark_pyfiles.zip")
-    if not os.path.exists(zip_path):
+    src_mtime = 0.0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith((".py", ".txt")):
+                src_mtime = max(src_mtime,
+                                os.path.getmtime(os.path.join(root, f)))
+    # rebuild when any source is newer than the zip: workers import the
+    # package from this zip (addPyFile prepends it to their sys.path),
+    # so a stale zip silently ships OLD module code to executors
+    if (not os.path.exists(zip_path)
+            or os.path.getmtime(zip_path) < src_mtime):
         tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
