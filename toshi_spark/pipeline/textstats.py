@@ -30,6 +30,21 @@ def _stopword_hits(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
+def _digit_chars_col(text: Column) -> Column:
+    """Count of ASCII digit chars, as ``length − length(translate(…))``.
+
+    Value-identical to ``length(regexp_replace(text, '[^0-9]', ''))``
+    for EVERY input (digits are single UTF-16 units; every non-digit —
+    surrogate pairs included — cancels out of the subtraction), but
+    avoids a SECOND char-class ``regexp_replace`` in the same generated
+    stage: measured at 50k docs, one such replace costs ~0.09 s, two
+    distinct ones in one projection cost 1.2-1.5 s (the second pattern
+    pollutes the JIT profile of the shared regex machinery), while the
+    ``translate`` form keeps the whole projection at ~0.15 s.
+    """
+    return F.length(text) - F.length(F.translate(text, "0123456789", ""))
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """n-gram/stopword language-ID heuristic → (doc_id, en_ratio, pred).
@@ -66,7 +81,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
     alnum_chars = F.length(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     )
-    digit_chars = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    digit_chars = _digit_chars_col(F.col(text_col))
     # tokens are maximal alnum runs, so Σ token lengths ≡ alnum char
     # count — mean token length without an interpreted fold
     mean_tok_len = F.when(
@@ -105,6 +120,26 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id",
 # BIGINT overflow rather than wrapping, so mod-2^64 hashing is out)
 FP_BASE = 1_000_003
 FP_MOD = 2_147_483_647
+
+# per-process memo for the SimHash token hash (add_profile_stats):
+# token frequencies are Zipfian, so one md5 per DISTINCT token per
+# WORKER replaces one per (doc, type) — Spark's reused Python workers
+# keep the dict warm across tasks.  Bounded so a pathological vocab
+# cannot grow it without limit.
+_MD5_TOKEN_CACHE: dict[str, int] = {}
+_MD5_TOKEN_CACHE_MAX = 2_000_000
+
+
+def _token_md5(tok: str) -> int:
+    """int(md5(tok)[:8 hex], 16) — the SimHash token hash, memoized."""
+    h = _MD5_TOKEN_CACHE.get(tok)
+    if h is None:
+        from hashlib import md5
+
+        h = int(md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+        if len(_MD5_TOKEN_CACHE) < _MD5_TOKEN_CACHE_MAX:
+            _MD5_TOKEN_CACHE[tok] = h
+    return h
 
 
 def add_fingerprint(df: DataFrame, text_col: str = "text",
@@ -230,10 +265,16 @@ def add_profile_stats(df: DataFrame, text_col: str = "text",
          " entropy_raw double, simhash long, dup_line_raw double,"
          " top_bigram_raw double")
 
-    from hashlib import md5 as _md5
-
     def kern(batches):
+        from collections import Counter
+
+        # resolve the memoized hash through the module so the worker-
+        # process cache is shared across tasks (a closure copy would be
+        # rebuilt per task)
+        from toshi_spark.pipeline.textstats import _token_md5
+
         pad = np.zeros(gram - 1, dtype=np.uint8)
+        bit_idx = np.arange(bits)
         for b in batches:
             if b.num_rows == 0:
                 continue
@@ -267,11 +308,19 @@ def add_profile_stats(df: DataFrame, text_col: str = "text",
                     fp[r] = ((w.astype(np.int64) @ kernel) % FP_MOD).min()
                 n = len(toks)
                 if n:
-                    # entropy/TTR: sequential fold in sorted-run order
-                    uniq, counts = np.unique(np.asarray(toks, dtype=object),
-                                             return_counts=True)
-                    n_types[r] = uniq.size
-                    ttr[r] = uniq.size / n
+                    # entropy/TTR: Counter + sorted keys gives the SAME
+                    # sorted-distinct iteration order (and thus the
+                    # same sequential float fold) as the previous
+                    # np.unique over an object array, without the
+                    # Python-compare sort of every occurrence
+                    cnt = Counter(toks)
+                    uniq = sorted(cnt)
+                    k = len(uniq)
+                    n_types[r] = k
+                    ttr[r] = k / n
+                    counts = np.fromiter(
+                        (cnt[u] for u in uniq), dtype=np.int64, count=k
+                    )
                     clogc = 0.0
                     for c in counts:
                         c = float(c)
@@ -279,20 +328,19 @@ def add_profile_stats(df: DataFrame, text_col: str = "text",
                     ent[r] = math.log2(n) - clogc / n
                     # simhash: tf-weighted per-bit counts over the
                     # DISTINCT tokens (≡ per-occurrence counts, the
-                    # same identity simhash_col uses) — one md5 per
-                    # type, bit tests vectorized
+                    # same identity simhash_col uses) — md5 per type
+                    # served from the worker-level cache
                     hs = np.fromiter(
-                        (int(_md5(u.encode("utf-8")).hexdigest()[:8], 16)
-                         for u in uniq),
-                        dtype=np.int64, count=uniq.size,
+                        (_token_md5(u) for u in uniq),
+                        dtype=np.int64, count=k,
                     )
                     bitc = (
-                        ((hs[:, None] >> np.arange(bits)) & 1)
+                        ((hs[:, None] >> bit_idx) & 1)
                         * counts[:, None]
                     ).sum(axis=0)
                     sig[r] = int(
                         ((2 * bitc > n).astype(np.int64)
-                         << np.arange(bits)).sum()
+                         << bit_idx).sum()
                     )
                 # repetition: lines (trim = 0x20 only, like Spark trim)
                 lines = [ln.strip(" ") for ln in s.split("\n")]
@@ -300,17 +348,11 @@ def add_profile_stats(df: DataFrame, text_col: str = "text",
                 if lines:
                     dup_line[r] = 1.0 - len(set(lines)) / len(lines)
                 if n >= 2:
-                    bg: dict[tuple, int] = {}
-                    best = 0
-                    prev = toks[0]
-                    for t in toks[1:]:
-                        key = (prev, t)
-                        c2 = bg.get(key, 0) + 1
-                        bg[key] = c2
-                        if c2 > best:
-                            best = c2
-                        prev = t
-                    top_bg[r] = best / (n - 1)
+                    # most-frequent bigram count: C-level pair hashing
+                    # (identical count to the explicit dict loop)
+                    top_bg[r] = max(
+                        Counter(zip(toks, toks[1:])).values()
+                    ) / (n - 1)
             passthrough = [
                 b.column(i) for i in range(b.num_columns) if i not in drop
             ]
@@ -732,13 +774,44 @@ def text_profile(
     """
     passthrough = passthrough or []
     toks = F.col(toks_col) if toks_col is not None else tokens_col(text_col)
-    n_tokens = F.size(toks)
-    n_chars = F.length(F.col(text_col))
-    alnum_chars = F.length(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    # Phase 1 (pre-kernel): each SHARED raw count exactly once.  The
+    # ratio expressions reference stop_hits/alnum_chars/… several times
+    # each, and CollapseProject inlines a named projection into every
+    # consumer — the interpreted stopword filter and the regexp scans
+    # were each evaluated 4-5× per row (measured: the duplicated
+    # projection cost ~2 s of a 2.9 s query at 50k docs).  The Arrow
+    # kernel is a hard projection barrier, so the counts ride THROUGH
+    # it as columns and phase 2 derives the ratios from bound
+    # attributes with plain scalar arithmetic (identical expressions →
+    # identical doubles).
+    stats = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *passthrough,
+        F.col(text_col),
+        toks.alias("_toks"),
+        F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("n_ws"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE),
+                                 F.lit(0))
+        ).cast("long").alias("n_bpe"),
+        F.length(F.col(text_col)).alias("_n_chars"),
+        F.length(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+        ).alias("_alnum_chars"),
+        _digit_chars_col(F.col(text_col)).alias("_digit_chars"),
+        _stopword_hits(toks, EN_STOPWORDS).alias("_stop_hits"),
     )
-    digit_chars = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
-    stop_hits = _stopword_hits(toks, EN_STOPWORDS)
+    out = add_profile_stats(stats, text_col=text_col, toks_col="_toks",
+                            bits=simhash_bits)
+    # Phase 2 (post-kernel): ratios/score from the bound counts —
+    # the same formulas as lang_id/quality_score (the reference
+    # implementations), bit-identical arithmetic.
+    n_tokens = F.col("n_tokens")
+    n_chars = F.col("_n_chars")
+    alnum_chars = F.col("_alnum_chars")
+    digit_chars = F.col("_digit_chars")
+    stop_hits = F.col("_stop_hits")
     en_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(
         F.lit(0.0)
     )
@@ -758,17 +831,8 @@ def text_profile(
         + F.least(stop_ratio * F.lit(5.0), F.lit(0.3))
         - F.least(punct_ratio, F.lit(0.2))
     )
-    stats = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        *passthrough,
-        F.col(text_col),
-        toks.alias("_toks"),
-        F.size(F.split(F.col(text_col), r"\s+")).cast("long").alias("n_ws"),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.size(
-            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE),
-                                 F.lit(0))
-        ).cast("long").alias("n_bpe"),
+    return out.select(
+        "doc_id", "n_ws", "n_tokens", "n_bpe",
         F.round(en_ratio, 4).alias("en_ratio"),
         F.when(en_ratio >= 0.05, F.lit("en")).otherwise(F.lit("und"))
         .alias("pred"),
@@ -777,13 +841,6 @@ def text_profile(
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(digit_ratio, 4).alias("digit_ratio"),
         F.round(score, 4).alias("quality"),
-    )
-    out = add_profile_stats(stats, text_col=text_col, toks_col="_toks",
-                            bits=simhash_bits)
-    return out.select(
-        "doc_id", "n_ws", "n_tokens", "n_bpe", "en_ratio", "pred",
-        "mean_tok_len", "stop_ratio", "punct_ratio", "digit_ratio",
-        "quality",
         F.round("dup_line_raw", 4).alias("dup_line_frac"),
         F.round("top_bigram_raw", 4).alias("top_bigram_frac"),
         "n_types",

@@ -135,7 +135,8 @@ def contamination(
     ``toks_col`` — pre-tokenized column on ``docs`` (the shared
     analyzed-corpus artifact): skips the scan-side re-tokenize.
     """
-    with_grams = tokens_barrier(docs, id_col, text_col, toks_col).select(
+    base = tokens_barrier(docs, id_col, text_col, toks_col)
+    with_grams = base.select(
         "doc_id",
         ngrams_col(F.col("_t"), n).alias("_grams"),
     )
@@ -154,8 +155,14 @@ def contamination(
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
-    per_doc = with_grams.select(
-        "doc_id", F.size("_grams").cast("long").alias("n_grams")
+    # gram COUNT arithmetically (max(len - n + 1, 0)): size(transform(…))
+    # would build every gram string a second time just to count them —
+    # a full O(len·n) string pass per doc that the count never reads
+    n_toks = F.size(F.col("_t"))
+    per_doc = base.select(
+        "doc_id",
+        F.when(n_toks >= n, n_toks - (n - 1)).otherwise(F.lit(0))
+        .cast("long").alias("n_grams"),
     )
     return (
         per_doc.join(hits, "doc_id", "left")
@@ -627,11 +634,12 @@ def _bigram_buckets(docs: DataFrame, n_buckets: int,
 
 def dsir_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     n_buckets: int = 4096,
     id_col: str = "doc_id",
     text_col: str = "text",
     toks_col: str | None = None,
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw doc
@@ -657,9 +665,37 @@ def dsir_weights(
     bucket row of a doc is partition-local): the only corpus-scale
     shuffle moves one row per doc.  The resampling step itself is
     :func:`dsir_resample`.
+
+    ``target_filter`` — when the curated slice IS a filter over
+    ``docs`` (a doc-id predicate, a label column), pass the predicate
+    instead of a separate ``target`` frame: the (doc_id, bucket)
+    stream is then featurized ONCE and checkpointed, and the raw
+    model, the target model and the scoring pass all scan the
+    materialized blocks — the two-frame form re-evaluates the
+    map-only explode+hash chain per consumer, three full corpus
+    passes of the dominant per-token work.  ``target`` is ignored
+    when set.
     """
-    raw_b = _bigram_buckets(docs, n_buckets, id_col, text_col, toks_col)
-    tgt_b = _bigram_buckets(target, n_buckets, id_col, text_col, toks_col)
+    if target_filter is not None:
+        from .dedup import _cut_lineage
+
+        # featurize ONCE: the (doc_id, bucket) stream materializes as
+        # checkpoint blocks and its three consumers (raw model, target
+        # model, scoring) scan those — the three-frame form re-ran the
+        # map-only explode+hash chain per consumer (measured ~0.8 s per
+        # pass at 50k docs, and at crawl scale each pass is a full
+        # corpus read)
+        raw_b = _cut_lineage(
+            _bigram_buckets(docs, n_buckets, id_col, text_col, toks_col)
+        )
+        tgt_b = raw_b.filter(target_filter)
+    else:
+        if target is None:
+            raise ValueError("need target or target_filter")
+        raw_b = _bigram_buckets(docs, n_buckets, id_col, text_col,
+                                toks_col)
+        tgt_b = _bigram_buckets(target, n_buckets, id_col, text_col,
+                                toks_col)
     rawc = raw_b.groupBy("bucket").agg(
         F.count("*").cast("double").alias("_cr")
     )

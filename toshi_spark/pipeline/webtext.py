@@ -97,9 +97,14 @@ def boilerplate_lines(
     docs — the cross-document boilerplate set (nav bars, footers,
     cookie banners) that line-level dedup strips before training.
 
-    Two shuffles, both necessary for exactness: distinct (line, doc)
-    pairs, then a partially-aggregated count per line.  Output is the
-    (small) boilerplate lexicon.
+    Two shuffles, both necessary for exactness — but both move the
+    16-byte line HASH, never the line text: distinct (doc, md5(line))
+    pairs, then a partially-aggregated count per hash (the previous
+    form shuffled the full line strings twice; a line here can be a
+    whole collapsed page).  The surviving strings are recovered by a
+    broadcast join of the count table (the boilerplate lexicon —
+    small by the operator's own premise) back onto the line stream.
+    Output is the (small) lexicon.
     """
     lines = pages.select(
         F.col(id_col).alias("doc_id"),
@@ -111,12 +116,20 @@ def boilerplate_lines(
             )
         ).alias("line"),
     )
-    return (
-        lines.distinct()
-        .groupBy("line")
+    hashed = lines.select(
+        "doc_id", F.md5(F.encode("line", "utf-8")).alias("_h")
+    )
+    counts = (
+        hashed.distinct()
+        .groupBy("_h")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
+    )
+    return (
+        lines.select(F.md5(F.encode("line", "utf-8")).alias("_h"), "line")
+        .join(F.broadcast(counts), "_h")
         .select("line", "n_docs")
+        .distinct()
     )
 
 
@@ -126,38 +139,38 @@ def strip_boilerplate(
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "clean",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Remove boilerplate lines from each doc, preserving the order of
     the surviving lines.
 
-    posexplode → anti-join against the boilerplate lexicon (the small
-    side; Spark broadcasts it under AQE) → order-preserving
-    re-assembly via array_sort over (pos, line) structs.  Docs whose
-    every line is boilerplate survive with an empty string.
+    The lexicon (small by construction — it is the set of lines
+    repeated across ≥min_docs documents) collapses to ONE row holding
+    a sorted line array, broadcast into a map-side higher-order
+    filter: each doc's split lines are filtered against it and
+    re-joined IN PLACE.  Lines never leave their row — the previous
+    posexplode → anti-join → collect_list/array_sort → spine-join
+    shape paid a doc_id exchange carrying every byte of page text to
+    reassemble an order the row already had.  Docs whose every line is
+    boilerplate survive with an empty string (array_join over an empty
+    array).
+
+    ``passthrough`` names input columns carried into the output so a
+    single-branch pipeline needs no join-back (see pii_scrub).
     """
-    pos = pages.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    lex = boiler.agg(
+        F.array_sort(F.collect_set("line")).alias("_blines")
     )
-    kept = pos.join(
-        boiler.select(F.col("line").alias("bline")),
-        F.trim(pos["line"]) == F.col("bline"),
-        "left_anti",
+    kept = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda l: ~F.array_contains(F.col("_blines"), F.trim(l)),
     )
-    reassembled = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda x: x["line"],
-            ),
-            "\n",
-        ).alias(out_col)
-    )
-    # docs that lost every line still come back (empty clean text)
     return (
-        pages.select(F.col(id_col).alias("doc_id"))
-        .join(reassembled, "doc_id", "left")
-        .select("doc_id", F.coalesce(out_col, F.lit("")).alias(out_col))
+        pages.crossJoin(F.broadcast(lex))
+        .select(
+            F.col(id_col).alias("doc_id"), *passthrough,
+            F.array_join(kept, "\n").alias(out_col),
+        )
     )
 
 

@@ -2727,9 +2727,11 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.training import dsir_weights
 
     docs = analyzed_corpus(spark, sf_dir)
-    target = docs.filter(F.col("doc_id") % _DSIR_EVERY == 0)
-    return dsir_weights(docs, target, n_buckets=_DSIR_B,
-                        toks_col="toks")
+    # the synthetic curated slice IS a doc-id predicate over the same
+    # corpus — the filter form featurizes the bigram stream once (see
+    # dsir_weights.target_filter)
+    return dsir_weights(docs, n_buckets=_DSIR_B, toks_col="toks",
+                        target_filter=F.col("doc_id") % _DSIR_EVERY == 0)
 
 
 ORACLES["dsir_weights"] = f"""
@@ -3116,24 +3118,30 @@ def q_webtext_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CacheManager forever and leak across repeated invocations).
     lined = phase_checkpoint(lined, "webtext_lined")
     bp = boilerplate_lines(lined, min_docs=100)
-    cleaned = strip_boilerplate(lined, bp)
-    # scrub passes `clean` through, so the cleaned->scrubbed chain is
-    # ONE branch — the old (lined ⋈ cleaned ⋈ scrubbed) three-way re-
-    # executed the boilerplate shuffle twice and the extraction 4x
-    scrubbed = pii_scrub(cleaned, text_col="clean",
-                         passthrough=("clean",))
-    return (
-        lined.join(scrubbed, "doc_id")
-        .select(
-            "doc_id", "scheme", "host", "path", "query_sorted",
-            "canonical_url",
-            F.md5("extracted").alias("extracted_hash"),
-            F.length("extracted").cast("long").alias("n_extracted"),
-            F.md5("clean").alias("clean_hash"),
-            F.length("clean").cast("long").alias("n_clean"),
-            "n_email", "n_ipv4", "n_ssn",
-            F.md5("redacted").alias("redacted_hash"),
-        )
+    # strip is now MAP-SIDE (broadcast lexicon array, lines filtered in
+    # place) and passes every result column through, so the whole
+    # lined → cleaned → scrubbed chain is ONE branch with NO join-back
+    # — the old shape re-joined lined ⋈ scrubbed on doc_id just to
+    # recover columns the rows never needed to lose
+    cleaned = strip_boilerplate(
+        lined, bp,
+        passthrough=("scheme", "host", "path", "query_sorted",
+                     "canonical_url", "extracted"),
+    )
+    scrubbed = pii_scrub(
+        cleaned, text_col="clean",
+        passthrough=("scheme", "host", "path", "query_sorted",
+                     "canonical_url", "extracted", "clean"),
+    )
+    return scrubbed.select(
+        "doc_id", "scheme", "host", "path", "query_sorted",
+        "canonical_url",
+        F.md5("extracted").alias("extracted_hash"),
+        F.length("extracted").cast("long").alias("n_extracted"),
+        F.md5("clean").alias("clean_hash"),
+        F.length("clean").cast("long").alias("n_clean"),
+        "n_email", "n_ipv4", "n_ssn",
+        F.md5("redacted").alias("redacted_hash"),
     )
 
 
@@ -3303,9 +3311,8 @@ def q_assemble_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads checkpoint blocks (parquet under TOSHI_SPARK_CHECKPOINT_DIR
     # at crawl scale).
     selected = _staged(spark, sf_dir, "atm_selected", _build_selected)
-    target = selected.filter(F.col("doc_id") % _DSIR_EVERY == 0)
-    w = dsir_weights(selected, target, n_buckets=_DSIR_B,
-                     toks_col="toks")
+    w = dsir_weights(selected, n_buckets=_DSIR_B, toks_col="toks",
+                     target_filter=F.col("doc_id") % _DSIR_EVERY == 0)
     # The resample is a TakeOrdered: ≤k rows by construction, k fixed
     # (100) regardless of corpus size.  Land them on the driver and
     # re-create the frame so the two consumers below (chosen filter +
@@ -3315,7 +3322,12 @@ def q_assemble_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pick = spark.createDataFrame(pick_df.collect(), schema=pick_df.schema)
     chosen = selected.join(F.broadcast(pick.select("doc_id")), "doc_id")
-    packed = pack_sequences(chosen, seq_len=64, toks_col="toks")
+    # chosen is ≤ k = _ATM_K rows BY CONSTRUCTION (k is fixed, corpus-
+    # independent): the prefix sum over it is a one-partition job at
+    # any scale — range-sampling it across defaultParallelism
+    # partitions is pure scheduling overhead
+    packed = pack_sequences(chosen, seq_len=64, toks_col="toks",
+                            num_partitions=1)
     return packed.join(F.broadcast(pick), "doc_id").select(
         "doc_id", "log_weight", "gumbel_key",
         "n_tokens", "tok_offset", "seq_first", "seq_last", "n_seqs",
