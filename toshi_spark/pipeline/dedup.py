@@ -296,10 +296,19 @@ def ngram_jaccard_pairs(
         toks = tokens_col(text_col)
     # one shingle-array row per candidate doc; persist so the doc scan
     # + tokenize runs ONCE across the two pair-side joins (the verify
-    # working set, sized by candidate docs — spills rather than OOMs)
+    # working set, sized by candidate docs — spills rather than OOMs).
+    # Shingles are xxhash64-hashed to longs FIRST: |A∩B| / |A| / |B|
+    # are preserved under any injective mapping (a 64-bit collision
+    # inside one candidate pair's ~10² shingles is ~10²·10²/2⁶⁴ ≈
+    # 1e-16 per pair — below any realistic corpus event), and the
+    # verify rows shrink ~2.5× (8-byte elements vs shingle strings),
+    # which is what the two pair-side joins shuffle.
     sh = base.select(
         "doc_id",
-        F.array_distinct(shingles_col(toks, shingle_k)).alias("sh"),
+        F.array_distinct(
+            F.transform(shingles_col(toks, shingle_k),
+                        lambda s: F.xxhash64(s))
+        ).alias("sh"),
     ).persist()
     out = (
         candidates.join(

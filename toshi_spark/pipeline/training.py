@@ -213,10 +213,14 @@ def eval_contamination_artifact(
     bands = bands.withColumn(
         "_bn", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("_bn") <= max_eval_bucket).drop("_bn")
+    # hashed-shingle arrays (xxhash64 longs): set sizes and
+    # intersections are hash-invariant (see ngram_jaccard_pairs), and
+    # the broadcast eval artifact shrinks ~2.5×
     shingles = ev_toks.select(
         F.col("doc_id").alias("eval_id"),
         F.array_distinct(
-            shingles_col(F.col("_toks"), shingle_k)
+            F.transform(shingles_col(F.col("_toks"), shingle_k),
+                        lambda s: F.xxhash64(s))
         ).alias("_shb"),
     )
     return bands, shingles
@@ -318,7 +322,8 @@ def fuzzy_contamination(
         .select(
             "doc_id",
             F.array_distinct(
-                shingles_col(F.col("_toks"), shingle_k)
+                F.transform(shingles_col(F.col("_toks"), shingle_k),
+                            lambda s: F.xxhash64(s))
             ).alias("_sha"),
         )
     )
@@ -688,7 +693,16 @@ def dsir_weights(
         raw_b = _cut_lineage(
             _bigram_buckets(docs, n_buckets, id_col, text_col, toks_col)
         )
-        tgt_b = raw_b.filter(target_filter)
+        # BOTH bucket models from ONE scan of the checkpointed stream:
+        # the target count is a conditional sum in the same aggregate
+        # (count over a filtered stream ≡ sum of the predicate), so
+        # the rawc ⋈ tgtc join disappears too
+        merged = raw_b.groupBy("bucket").agg(
+            F.count("*").cast("double").alias("_cr"),
+            F.sum(
+                F.when(target_filter, F.lit(1)).otherwise(F.lit(0))
+            ).cast("double").alias("_ct"),
+        )
     else:
         if target is None:
             raise ValueError("need target or target_filter")
@@ -696,21 +710,24 @@ def dsir_weights(
                                 toks_col)
         tgt_b = _bigram_buckets(target, n_buckets, id_col, text_col,
                                 toks_col)
-    rawc = raw_b.groupBy("bucket").agg(
-        F.count("*").cast("double").alias("_cr")
-    )
-    tgtc = tgt_b.groupBy("bucket").agg(
-        F.count("*").cast("double").alias("_ct")
-    )
-    tot_r = rawc.agg(F.sum("_cr").alias("_cr_tot"))
-    tot_t = tgtc.agg(
+        rawc = raw_b.groupBy("bucket").agg(
+            F.count("*").cast("double").alias("_cr")
+        )
+        tgtc = tgt_b.groupBy("bucket").agg(
+            F.count("*").cast("double").alias("_ct")
+        )
+        # ratio over the RAW corpus's observed buckets (buckets absent
+        # from raw never appear in the scoring stream)
+        merged = rawc.join(tgtc, "bucket", "left")
+    tot_r = merged.agg(F.sum("_cr").alias("_cr_tot"))
+    # F.sum skips nulls, so the merged form's total equals the old
+    # tgtc-side total in both branches
+    tot_t = merged.agg(
         F.coalesce(F.sum("_ct"), F.lit(0.0)).alias("_ct_tot")
     )
     B = F.lit(float(n_buckets))
-    # ratio over the RAW corpus's observed buckets (buckets absent
-    # from raw never appear in the scoring stream)
     ratio = (
-        rawc.join(tgtc, "bucket", "left")
+        merged
         .crossJoin(F.broadcast(tot_r))
         .crossJoin(F.broadcast(tot_t))
         .select(
