@@ -42,9 +42,22 @@ _IX_CACHE: dict[tuple[str, int], FullTextIndex] = {}
 
 _SPREAD_MEMO: dict[tuple, int] = {}
 
+# spread granularity: one partition per this many INPUT bytes when
+# widening an under-split scan.  The dial balances two costs measured
+# at local[32]: per-doc Python/JVM map work wants width (text_profile
+# at 50k docs: 13.7 s serial → 1.8 s wide), while every extra map
+# partition adds per-task scheduling to each downstream stage (at 5k
+# docs, full-width spread cost shuffle-bearing queries ~+1 s each —
+# lm_score 1.0 → 2.2 with no code change).  Bytes-derived width keeps
+# BOTH regimes: 5.9 MB/50k docs → full width, 0.6 MB/5k docs → ~5
+# partitions.  At crawl scale the input has ≫cores splits and _spread
+# is a no-op regardless.
+_SPREAD_BYTES_PER_PARTITION = 128 * 1024
+
 
 def _spread(spark: SparkSession, df: DataFrame,
-            key: str | None = None) -> DataFrame:
+            key: str | None = None,
+            path: str | None = None) -> DataFrame:
     """Repartition ONLY when the input has fewer splits than cores —
     the test parquet is written as ONE row group per table, so every
     scan of it is ONE task and each "map-only, fused into the scan"
@@ -54,7 +67,9 @@ def _spread(spark: SparkSession, df: DataFrame,
 
     ``key`` memoizes the partition-count probe per (source, context,
     parallelism) so repeated query invocations skip the plan→RDD
-    conversion (~30 ms of driver work per call otherwise)."""
+    conversion (~30 ms of driver work per call otherwise).
+    ``path`` (the source file) sizes the widened layout by input bytes
+    (see _SPREAD_BYTES_PER_PARTITION) instead of raw core count."""
     par = spark.sparkContext.defaultParallelism
     if key is not None:
         memo = (key, id(spark.sparkContext), par)
@@ -64,8 +79,19 @@ def _spread(spark: SparkSession, df: DataFrame,
             _SPREAD_MEMO[memo] = n
     else:
         n = df.rdd.getNumPartitions()
-    if n < par:
-        return df.repartition(par)
+    target = par
+    if path is not None:
+        try:
+            nbytes = os.path.getsize(path)
+        except OSError:
+            nbytes = None
+        if nbytes is not None:
+            target = min(
+                par,
+                max(1, int(nbytes // _SPREAD_BYTES_PER_PARTITION)),
+            )
+    if n < target:
+        return df.repartition(target)
     return df
 
 
@@ -85,7 +111,8 @@ def load_documents(spark: SparkSession, sf_dir: str,
         F.concat(F.lit("/src/"), F.col("source")).alias("src_facet"),
     )
     if spread:
-        return _spread(spark, df, key=f"{sf_dir}/documents")
+        return _spread(spark, df, key=f"{sf_dir}/documents",
+                       path=f"{sf_dir}/documents.parquet")
     return df
 
 
@@ -94,6 +121,7 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         key=f"{sf_dir}/embeddings",
+        path=f"{sf_dir}/embeddings.parquet",
     )
 
 
@@ -650,7 +678,8 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread to full width when the input is under-split (see _spread):
     # the signature/shingle operators are map-only and would otherwise
     # run 2-wide over the small test parquet
-    return _spread(spark, docs.unionByName(dups), key=f"{sf_dir}/docs_aug")
+    return _spread(spark, docs.unionByName(dups), key=f"{sf_dir}/docs_aug",
+                   path=f"{sf_dir}/documents.parquet")
 
 
 _DOCS_AUG_SQL = """
