@@ -451,6 +451,7 @@ def dedup_clusters(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 20,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs →
     (doc_id, cluster_id) with cluster_id = min doc id in the component.
@@ -474,6 +475,47 @@ def dedup_clusters(
     action that materializes the round's labels (one job per round,
     no extra pass).
     """
+    # Size-gated local solve (the broadcast-join principle applied to
+    # connected components): a graph of ≤ local_threshold edges — a
+    # RUNTIME probe via limit(), not a config — is solved on the driver
+    # with union-find-by-min, which yields exactly the min-label
+    # components the distributed loop converges to.  Every round of the
+    # loop costs ~4 jobs + 2 lineage cuts regardless of size (measured
+    # 3.8 s for a 2.5k-edge graph whose labels fit in a dict), while
+    # 200k edges are ~3 MB of driver memory.  Larger edge lists take
+    # the distributed loop unchanged.
+    head = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .limit(local_threshold + 1)
+        .collect()
+    )
+    if len(head) <= local_threshold and all(
+        isinstance(r["a"], int) and isinstance(r["b"], int) for r in head
+    ):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in head:
+            u, v = r["a"], r["b"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                # union by MIN id: the root IS the component minimum,
+                # matching the distributed min-label fixed point
+                parent[rv] = ru
+        rows = sorted((v, find(v)) for v in parent)
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id long, cluster_id long"
+        )
+
     # single-pass symmetrization (explode, not a self-union — a union
     # would evaluate the upstream pair pipeline twice)
     edges = (
