@@ -737,12 +737,11 @@ shhash AS (
 _SHINGLES_SQL = _shingles_sql("docs_aug")
 
 
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(
-        analyzed_corpus(spark, sf_dir, augmented=True),
-        n_hashes=4, toks_col="toks",
-    )
-    return sigs.select("doc_id", "mh_0", "mh_1", "mh_2", "mh_3")
+# (r8, ADVICE item) q_minhash_signatures was deleted: the key left the
+# driver contract in r7 (absorbed into text_profile's mh_0..3 columns,
+# oracle embedded) and keeping a parallel standalone registration let
+# the absorbed path silently drift from the fused one.  The library
+# operator (pipeline.dedup.minhash_signatures) and its tests remain.
 
 
 def _mh_sql_cols(n: int) -> str:
@@ -1253,7 +1252,6 @@ FROM f
 
 QUERIES.update(
     {
-        "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
