@@ -135,3 +135,247 @@ def test_hashed_shingle_jaccard_equals_string_form(spark):
     )
     want = {(r["a"], r["b"]): r["j"] for r in ref.collect()}
     assert got == want
+
+
+def test_contamination_fingerprint_equals_md5_gram_form(spark):
+    """The xxhash64-pair gram keys must flag exactly what md5'd gram
+    STRINGS flagged (short docs, repeated grams, other-length eval
+    grams that may never match)."""
+    from toshi_spark.pipeline.training import (
+        contamination, ngrams_col, tokens_barrier,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e a b c d e"),
+            (1, "a b c d e f g h i j"),          # shares 5-grams w/ 0? (n=4)
+            (2, "x y z"),                        # shorter than n
+            (3, ""),                             # empty
+            (4, "a b c d a b c d a b c d"),      # repeated grams
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [("a b c d",), ("q r s t",), ("too short",), ("e f g h",)],
+        "gram string",
+    )
+    got = contamination(docs, ev, n=4).orderBy("doc_id")
+
+    # reference: the old md5-string form, inline
+    base = tokens_barrier(docs, "doc_id", "text")
+    grams = base.select(
+        "doc_id", ngrams_col(F.col("_t"), 4).alias("_grams")
+    )
+    ev_h = ev.select(
+        F.md5(F.encode("gram", "utf-8")).alias("_gh")
+    ).distinct()
+    hits = (
+        grams.select("doc_id", F.explode("_grams").alias("gram"))
+        .withColumn("_gh", F.md5(F.encode("gram", "utf-8")))
+        .join(F.broadcast(ev_h), "_gh")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    n_toks = F.size(F.col("_t"))
+    per_doc = base.select(
+        "doc_id",
+        F.when(n_toks >= 4, n_toks - 3).otherwise(F.lit(0))
+        .cast("long").alias("n_grams"),
+    )
+    want = (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_substring_dedup_fingerprint_equals_md5_form(spark):
+    """Window fingerprints (xxhash64 pair over token hashes) must pick
+    the same lexicon groups, spans and clean text as md5'd window
+    strings."""
+    from pyspark.sql import Window
+    from toshi_spark.pipeline.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "something else entirely here the quick brown fox jumps over the lazy dog today"),
+            (2, "short doc"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = substring_dedup(docs, k=4).orderBy("doc_id")
+
+    # reference: old md5-window form, inline
+    k = 4
+    toks = docs.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("_t"),
+    )
+    wins = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("_t") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - k),
+                    lambda i: F.md5(
+                        F.encode(
+                            F.array_join(F.slice("_t", i + 1, k), " "),
+                            "utf-8",
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "_h"),
+    )
+    occ_key = (F.col("doc_id") * F.lit(1 << 30) + F.col("pos"))
+    lex = (
+        wins.groupBy("_h")
+        .agg(F.count("*").alias("_occ"), F.min(occ_key).alias("_fk"))
+        .where(F.col("_occ") >= 2)
+    )
+    dup = wins.join(lex, "_h").where(occ_key != F.col("_fk"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup.select("doc_id", "pos", (F.col("pos") + (k - 1)).alias("_e"))
+        .withColumn("_pm", F.max("_e").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("_new", (F.col("_pm").isNull()
+                             | (F.col("pos") > F.col("_pm") + 1))
+                    .cast("long"))
+        .withColumn("_isl", F.sum("_new").over(w_doc))
+    )
+    spans = (
+        islands.groupBy("doc_id", "_isl")
+        .agg(F.min("pos").alias("s"), F.max("_e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("_spans"),
+             F.count("*").alias("n_spans"),
+             F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"))
+    )
+    want = (
+        toks.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_t").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long")
+            .alias("dup_tokens"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.transform(
+                            "_t",
+                            lambda x, i: F.struct(x.alias("tok"),
+                                                  i.alias("i")),
+                        ),
+                        lambda s: ~F.coalesce(
+                            F.exists(
+                                "_spans",
+                                lambda sp: (s["i"] >= sp["s"])
+                                & (s["i"] <= sp["e"]),
+                            ),
+                            F.lit(False),
+                        ),
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_struct_band_buckets_equal_md5_buckets(spark):
+    """Struct-of-minhash buckets must produce the identical candidate
+    pair set as md5-of-concat buckets (bucket identity is all that is
+    consumed)."""
+    from pyspark.sql import Window
+    from toshi_spark.pipeline.dedup import (
+        _signatures_from_tokens, lsh_candidate_pairs, tokens_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common tokens shared by many docs number {i % 3}")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id", tokens_col("text").alias("_toks"))
+    sigs = _signatures_from_tokens(toks, 8, 3)
+    got = lsh_candidate_pairs(sigs, 8, 4)
+
+    # reference: md5 banding inline
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.encode(
+                F.concat_ws("|", f"mh_{2 * b}", f"mh_{2 * b + 1}"),
+                "utf-8")).alias("bucket"),
+        )
+        for b in range(4)
+    ])
+    banded = sigs.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    sized = banded.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band", "bucket")),
+    ).filter(F.col("bucket_n") <= 1000)
+    a = sized.select("band", "bucket", F.col("doc_id").alias("a"))
+    b = sized.select("band", "bucket", F.col("doc_id").alias("b"))
+    want = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_jaccard_size_prefilter_is_lossless(spark):
+    """The min>=t*max prefilter may only drop pairs that cannot reach
+    the threshold — verified pairs must be identical with and without
+    it, including exact-boundary ratios (sizes 1:2 at t=0.5)."""
+    from toshi_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h"),
+            (1, "a b c d e f g h"),            # J=1 with 0
+            (2, "a b c d"),                    # subset of 0: |A|=2,|B|=6
+            (3, "a b c d e f x y"),            # partial overlap
+            (4, "p q r s t u v w"),            # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 3), (2, 3)],
+        "a long, b long",
+    )
+    got = ngram_jaccard_pairs(docs, cands, shingle_k=3, threshold=0.5)
+    # reference: brute force in python
+    import itertools
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    def sh(t):
+        tk = [x for x in t.lower().split() if x]
+        if len(tk) >= 3:
+            return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+        return {" ".join(tk)}
+    want = []
+    for a, b in [(0, 1), (0, 2), (0, 3), (0, 4), (1, 3), (2, 3)]:
+        A, B = sh(texts[a]), sh(texts[b])
+        j = len(A & B) / len(A | B)
+        if j >= 0.5:
+            want.append((a, b, round(j, 4)))
+    assert _rows(got) == sorted(want)

@@ -190,8 +190,15 @@ def _signatures_from_tokens(
 def band_buckets(
     signatures: DataFrame, n_hashes: int, n_bands: int
 ) -> DataFrame:
-    """(doc_id, band, bucket): each signature's n_bands band hashes —
-    bucket = md5 of the band's '|'-joined minhashes.
+    """(doc_id, band, bucket): each signature's n_bands band keys —
+    bucket = STRUCT of the band's minhashes themselves.
+
+    Bucket identity is all downstream consumers use (size cap, equi-
+    join), and any injective image of the minhash tuple yields the
+    same collisions — md5-of-concat was paying a crypto hash per
+    (doc, band) and shuffling/probing 32-char strings where r longs
+    compare field-wise (measured ~0.4 s off the candidate chain at
+    50k docs, pair set identical).
 
     ONE explode, not an n_bands-way union: each union branch would
     re-evaluate the upstream signature plan (map-only, no exchange to
@@ -201,15 +208,10 @@ def band_buckets(
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(
-                F.encode(
-                    F.concat_ws("|", *[
-                        f"mh_{b * rows_per_band + r}"
-                        for r in range(rows_per_band)
-                    ]),
-                    "utf-8",
-                )
-            ).alias("bucket"),
+            F.struct(*[
+                F.col(f"mh_{b * rows_per_band + r}").alias(f"v{r}")
+                for r in range(rows_per_band)
+            ]).alias("bucket"),
         )
         for b in range(n_bands)
     ])
@@ -310,8 +312,31 @@ def ngram_jaccard_pairs(
                         lambda s: F.xxhash64(s))
         ).alias("sh"),
     ).persist()
-    out = (
+    # size-ratio prefilter (exact-safe): J = I/(|A|+|B|−I) with
+    # I ≤ min(|A|,|B|) implies J ≤ min/max, so any pair with
+    # min < t·max cannot reach the threshold — drop it BEFORE the
+    # shingle arrays are joined on.  The size table is two longs per
+    # candidate doc (the arrays' payload is what the verify joins
+    # shuffle), and the 1e-9 slack keeps boundary pairs when t·max
+    # rounds up in floating point (sizes are integers, so no
+    # legitimately-passing pair sits within 1e-9 of the boundary).
+    sizes = sh.select("doc_id", F.size("sh").alias("_n"))
+    slim = (
         candidates.join(
+            sizes.select(F.col("doc_id").alias("a"),
+                         F.col("_n").alias("_na")), "a")
+        .join(
+            sizes.select(F.col("doc_id").alias("b"),
+                         F.col("_n").alias("_nb")), "b")
+        .filter(
+            F.least("_na", "_nb").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("_na", "_nb")
+            - F.lit(1e-9)
+        )
+        .select("a", "b")
+    )
+    out = (
+        slim.join(
             sh.select(F.col("doc_id").alias("a"),
                       F.col("sh").alias("_sha")), "a")
         .join(
@@ -650,21 +675,27 @@ def paragraph_dedup(
             ).alias("para_idx", "para"),
         )
     )
-    # first occurrence per distinct paragraph content; join on the
-    # md5 (16 bytes) rather than the paragraph text so the shuffled
-    # key is fixed-width
+    # first occurrence per distinct paragraph content; join on a pair
+    # of xxhash64 fingerprints (16 fixed-width bytes, ~2⁻¹²⁸ collision
+    # — the window-fingerprint convention above) rather than the
+    # paragraph text, and encode the (doc_id, para_idx) order key as
+    # ONE long: min(struct) is not hash-aggregable and forced a
+    # SortAggregate (two extra per-partition sorts of the paragraph
+    # stream); the long keeps it a HashAggregate with map-side partial
+    # agg.  2^30 paragraphs per doc bounds para_idx by construction.
+    occ_key = (F.col("doc_id") * F.lit(1 << 30) + F.col("para_idx"))
     firsts = (
         paras.groupBy(
-            F.md5(F.encode("para", "utf-8")).alias("_ph")
+            F.xxhash64("para").alias("_p1"),
+            F.xxhash64("para", F.lit(1)).alias("_p2"),
         )
-        .agg(F.min(F.struct("doc_id", "para_idx")).alias("_first"))
+        .agg(F.min(occ_key).alias("_first_key"))
     )
-    marked = paras.withColumn(
-        "_ph", F.md5(F.encode("para", "utf-8"))
-    ).join(firsts, "_ph").withColumn(
-        "_kept",
-        (F.col("doc_id") == F.col("_first.doc_id"))
-        & (F.col("para_idx") == F.col("_first.para_idx")),
+    marked = paras.withColumns({
+        "_p1": F.xxhash64("para"),
+        "_p2": F.xxhash64("para", F.lit(1)),
+    }).join(firsts, ["_p1", "_p2"]).withColumn(
+        "_kept", occ_key == F.col("_first_key")
     )
     return marked.groupBy("doc_id").agg(
         F.count("*").alias("n_paras"),
@@ -703,7 +734,8 @@ def substring_dedup(
     duplicate stream only:
 
       1. windows: every k-token window per doc as (doc_id, pos,
-         md5(window)) — map-only flatMap fused into the scan.
+         fingerprint(window)) — map-only flatMap fused into the scan
+         (two xxhash64-combine keys over per-token hashes; see below).
       2. lexicon: groupBy(hash) -> (occurrences, first occurrence by
          min(struct(doc_id, pos))), filtered to occurrences >= 2.
          This is the ONE corpus-scale shuffle; map-side partial agg
@@ -712,8 +744,8 @@ def substring_dedup(
          sort of the same token stream.
       3. duplicate windows: hash-join windows against the lexicon
          (count >= 2) and drop the canonical first occurrence.  The
-         join key is the 16-byte hash, so the lexicon side is
-         fixed-width; AQE broadcasts it when small.
+         join key is the 16-byte fingerprint pair, so the lexicon side
+         is fixed-width; AQE broadcasts it when small.
       4. spans: merge each doc's duplicate windows [pos, pos+k-1]
          into maximal contiguous duplicated regions (overlapping OR
          adjacent windows fuse).  Runs on the duplicate stream only
@@ -734,25 +766,37 @@ def substring_dedup(
         F.col(id_col).alias("doc_id"),
         F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_t"),
     )
-    # guard: F.sequence(0, n) infers step -1 when n < 0, so gate the
-    # window starts on size >= k instead of relying on an empty range
-    wins = toks.select(
+    # Window fingerprints from per-token hashes, never window STRINGS:
+    # the old form array_join'd + md5'd every k-token window, copying
+    # every token k times and crypto-hashing ~k·corpus bytes.  Here
+    # each token hashes ONCE (two independent xxhash64s, behind a
+    # Generate barrier so CollapseProject cannot inline the maps into
+    # the per-window lambda), and each window combines k fixed-width
+    # longs with xxhash64.  Two independent 64-bit keys ≈ 128-bit
+    # equality: window-group identity is preserved up to a ~2⁻¹²⁸
+    # cross-window collision (the hashed-shingle convention; md5 was
+    # already a fingerprint, just a slower one).
+    from .training import _gram_fp_col
+
+    hashed = toks.select(
+        "doc_id",
+        F.explode(F.array(F.struct(
+            F.transform("_t", lambda t: F.xxhash64(t)).alias("h1"),
+            F.transform("_t", lambda t: F.xxhash64(t, F.lit(1)))
+            .alias("h2"),
+        ))).alias("_ha"),
+    )
+    wins = hashed.select(
         "doc_id",
         F.posexplode(
-            F.when(
-                F.size("_t") >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("_t") - k),
-                    lambda i: F.md5(
-                        F.encode(
-                            F.array_join(F.slice("_t", i + 1, k), " "),
-                            "utf-8",
-                        )
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "_h"),
-    )
+            F.zip_with(
+                _gram_fp_col(F.col("_ha.h1"), k),
+                _gram_fp_col(F.col("_ha.h2"), k),
+                lambda a, b: F.struct(a.alias("f1"), b.alias("f2")),
+            )
+        ).alias("pos", "_w"),
+    ).select("doc_id", "pos", F.col("_w.f1").alias("_h1"),
+             F.col("_w.f2").alias("_h2"))
     # first-occurrence key encoded as ONE long (doc_id * 2^30 + pos)
     # instead of min(struct(...)): structs are not hash-aggregable,
     # and a SortAggregate here would per-partition-sort the whole
@@ -761,14 +805,17 @@ def substring_dedup(
     # per doc is the same per-doc bound the block codec assumes.
     occ_key = (F.col("doc_id") * F.lit(1 << 30) + F.col("pos"))
     lexicon = (
-        wins.groupBy("_h")
+        wins.groupBy("_h1", "_h2")
         .agg(
             F.count("*").alias("_occ"),
             F.min(occ_key).alias("_first_key"),
         )
         .where(F.col("_occ") >= 2)
     )
-    dup = wins.join(lexicon, "_h").where(occ_key != F.col("_first_key"))
+    dup = (
+        wins.join(lexicon, ["_h1", "_h2"])
+        .where(occ_key != F.col("_first_key"))
+    )
     # maximal-span merge: classic islands — a window starts a new
     # island iff its start exceeds (running max end of earlier
     # windows) + 1, i.e. it neither overlaps nor touches the region

@@ -79,6 +79,26 @@ def ngrams_col(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _gram_fp_col(h_arr: Column, n: int) -> Column:
+    """Sliding-window fingerprints over a token-hash array:
+    key(i) = xxhash64(h[i], …, h[i+n-1]); [] when fewer than n
+    elements (mirrors :func:`ngrams_col`'s when-guard).  Hash-combine
+    rather than polynomial arithmetic: ANSI mode forbids wrapping long
+    multiplication, and xxhash64 over n fixed-width longs mixes
+    better anyway.  A fingerprint, not a checksum — callers pair two
+    keys built from independent token-hash arrays for 128-bit-grade
+    equality."""
+    return F.when(
+        F.size(h_arr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(h_arr) - n),
+            lambda i: F.xxhash64(
+                *[F.get(h_arr, i + F.lit(t)) for t in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def tokens_barrier(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     toks_col: str | None = None,
@@ -126,32 +146,68 @@ def contamination(
     benchmark suite's sliding n-grams).  Returns one row per doc:
     (doc_id, n_grams, n_hits, contaminated).
 
-    Scale shape: the doc-side n-gram stream is exploded map-side and
-    joined to the md5 of the (broadcast) eval set — fixed-width keys,
-    no corpus shuffle; the per-doc rollup is a map-side-combinable
-    groupBy on doc_id.  Docs with zero matching grams are restored by
-    the left join at the end (count aggregation only sees hits).
+    Scale shape: the doc-side n-gram key stream is exploded map-side
+    and joined to the (broadcast) eval key set — two 8-byte keys per
+    gram, no gram strings ever built, no corpus shuffle; the per-doc
+    rollup is a map-side-combinable groupBy on doc_id.  Docs with zero
+    matching grams are restored by the left join at the end (count
+    aggregation only sees hits).
 
     ``toks_col`` — pre-tokenized column on ``docs`` (the shared
     analyzed-corpus artifact): skips the scan-side re-tokenize.
     """
     base = tokens_barrier(docs, id_col, text_col, toks_col)
-    with_grams = base.select(
+    # Gram keys WITHOUT building gram strings: two independent
+    # xxhash64-combine fingerprints over per-token xxhash64s.
+    # Key equality ⇔ token-window equality
+    # up to a ~2⁻¹²⁸ collision per (train gram, eval gram) — the same
+    # injective-fingerprint convention as the hashed-shingle verify —
+    # and the old form paid an O(n)-char array_join + md5 PER WINDOW
+    # (every token copied n times), the dominant per-doc cost.  The
+    # token-hash arrays sit behind a second Generate barrier so
+    # CollapseProject cannot inline the xxhash64 maps into the
+    # per-window lambdas (see ngrams_col).
+    hashed = base.select(
         "doc_id",
-        ngrams_col(F.col("_t"), n).alias("_grams"),
+        F.explode(F.array(F.struct(
+            F.transform("_t", lambda t: F.xxhash64(t)).alias("h1"),
+            F.transform("_t", lambda t: F.xxhash64(t, F.lit(1)))
+            .alias("h2"),
+        ))).alias("_h"),
     )
-    eval_hashes = eval_ngrams.select(
-        F.md5(F.encode("gram", "utf-8")).alias("_gh")
-    ).distinct()
+    # eval grams key the same way, gated to EXACTLY n tokens (an
+    # other-length gram string can never equal an n-token window under
+    # the old string-equality semantics, so it must emit no key here
+    # either); the eval set is tiny — no barrier games needed
+    eval_keys = (
+        eval_ngrams.select(F.split("gram", " ", -1).alias("_t"))
+        .filter(F.size("_t") == n)
+        .select(
+            F.transform("_t", lambda t: F.xxhash64(t)).alias("h1"),
+            F.transform("_t", lambda t: F.xxhash64(t, F.lit(1)))
+            .alias("h2"),
+        )
+        .select(
+            F.get(_gram_fp_col(F.col("h1"), n), 0).alias("_g1"),
+            F.get(_gram_fp_col(F.col("h2"), n), 0).alias("_g2"),
+        )
+        .distinct()
+    )
     # only HIT rows reach the groupBy (the broadcast semi-join runs
     # map-side over the exploded stream) — the per-doc n_grams count
     # is a map-only projection, never shuffled
     hits = (
-        with_grams.select(
-            "doc_id", F.explode("_grams").alias("gram")
+        hashed.select(
+            "doc_id",
+            F.explode(F.zip_with(
+                _gram_fp_col(F.col("_h.h1"), n),
+                _gram_fp_col(F.col("_h.h2"), n),
+                lambda a, b: F.struct(a.alias("_g1"), b.alias("_g2")),
+            )).alias("_g"),
         )
-        .withColumn("_gh", F.md5(F.encode("gram", "utf-8")))
-        .join(F.broadcast(eval_hashes), "_gh")
+        .select("doc_id", F.col("_g._g1").alias("_g1"),
+                F.col("_g._g2").alias("_g2"))
+        .join(F.broadcast(eval_keys), ["_g1", "_g2"])
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
@@ -612,28 +668,44 @@ def blocklist_filter(
     ).drop("_hostname")
 
 
+def _bucket_col(gram: Column, n_buckets: int) -> Column:
+    """Bigram → bucket: first 28 bits of md5 mod ``n_buckets`` (the
+    engine-portable hash used throughout — DuckDB reproduces it with
+    ``('0x' || substr(md5(g),1,7))::BIGINT``, so oracle parity holds
+    bit-for-bit, unlike murmur3 ``F.hash``)."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.encode(gram, "utf-8")), 1, 7), 16, 10
+        ).cast("long"),
+        F.lit(int(n_buckets)),
+    )
+
+
 def _bigram_buckets(docs: DataFrame, n_buckets: int,
                     id_col: str, text_col: str,
                     toks_col: str | None = None) -> DataFrame:
-    """(doc_id, bucket) stream: one row per word bigram, hashed into
-    ``n_buckets`` via the first 28 bits of md5 (the engine-portable
-    hash used throughout — DuckDB reproduces it with
-    ``('0x' || substr(md5(g),1,7))::BIGINT``, so oracle parity holds
-    bit-for-bit, unlike murmur3 ``F.hash``)."""
+    """(doc_id, bucket) stream: one row per word bigram."""
     return (
         tokens_barrier(docs, id_col, text_col, toks_col)
         .select("doc_id", F.explode(ngrams_col(F.col("_t"), 2))
                 .alias("_g"))
-        .select(
-            "doc_id",
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.encode("_g", "utf-8")), 1, 7),
-                    16, 10,
-                ).cast("long"),
-                F.lit(int(n_buckets)),
-            ).alias("bucket"),
-        )
+        .select("doc_id", _bucket_col(F.col("_g"), n_buckets)
+                .alias("bucket"))
+    )
+
+
+def _bigram_bucket_arrays(docs: DataFrame, n_buckets: int,
+                          id_col: str, text_col: str,
+                          toks_col: str | None = None) -> DataFrame:
+    """(doc_id, _bkts): ONE row per doc carrying its bucket stream as
+    an array — same values and order as :func:`_bigram_buckets`, held
+    per-row so a map-only consumer never needs the explode back."""
+    return tokens_barrier(docs, id_col, text_col, toks_col).select(
+        "doc_id",
+        F.transform(
+            ngrams_col(F.col("_t"), 2),
+            lambda g: _bucket_col(g, n_buckets),
+        ).alias("_bkts"),
     )
 
 
@@ -684,24 +756,28 @@ def dsir_weights(
     if target_filter is not None:
         from .dedup import _cut_lineage
 
-        # featurize ONCE: the (doc_id, bucket) stream materializes as
-        # checkpoint blocks and its three consumers (raw model, target
-        # model, scoring) scan those — the three-frame form re-ran the
-        # map-only explode+hash chain per consumer (measured ~0.8 s per
-        # pass at 50k docs, and at crawl scale each pass is a full
-        # corpus read)
-        raw_b = _cut_lineage(
-            _bigram_buckets(docs, n_buckets, id_col, text_col, toks_col)
+        # featurize ONCE, as one row per doc: the bucket stream
+        # materializes as per-doc ARRAYS (same values/order as the
+        # exploded form, ~grams-many longs but docs-many rows), so the
+        # scoring pass below is map-only over the same materialized
+        # frame — no second featurize, no explode on the scoring side
+        arrs = _cut_lineage(
+            _bigram_bucket_arrays(docs, n_buckets, id_col, text_col,
+                                  toks_col)
         )
-        # BOTH bucket models from ONE scan of the checkpointed stream:
+        # BOTH bucket models from ONE scan of the materialized arrays:
         # the target count is a conditional sum in the same aggregate
         # (count over a filtered stream ≡ sum of the predicate), so
         # the rawc ⋈ tgtc join disappears too
-        merged = raw_b.groupBy("bucket").agg(
-            F.count("*").cast("double").alias("_cr"),
-            F.sum(
-                F.when(target_filter, F.lit(1)).otherwise(F.lit(0))
-            ).cast("double").alias("_ct"),
+        merged = (
+            arrs.select("doc_id", F.explode("_bkts").alias("bucket"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("double").alias("_cr"),
+                F.sum(
+                    F.when(target_filter, F.lit(1)).otherwise(F.lit(0))
+                ).cast("double").alias("_ct"),
+            )
         )
     else:
         if target is None:
@@ -719,6 +795,52 @@ def dsir_weights(
         # ratio over the RAW corpus's observed buckets (buckets absent
         # from raw never appear in the scoring stream)
         merged = rawc.join(tgtc, "bucket", "left")
+    if target_filter is not None:
+        # The model is PARAMETER-bounded (≤ n_buckets rows — a hashed
+        # feature space, corpus-independent), so it lands on the
+        # driver like fieldstats does — collected ONCE as raw counts:
+        # the lazy ratio tail (merged + two total aggs + crossJoins)
+        # re-evaluated the whole model aggregation per subtree, three
+        # corpus-scale passes for two scalars.  Totals and per-bucket
+        # log-ratios are a 4096-element Python loop; scoring is then a
+        # MAP-ONLY array fold over the materialized bucket arrays:
+        # no broadcast-join of the exploded stream, no groupBy(doc_id)
+        # exchange, and no spine left-join (every doc has a row; empty
+        # arrays fold to 0.0 exactly like the old left-join coalesce).
+        # Per-doc sum order is unchanged — the old hash aggregate
+        # accumulated a doc's co-located rows in stream order, which
+        # IS the array order.  (math.log vs the JVM's log differs by
+        # ≤ 1 ulp on some libms — the same cross-engine tolerance the
+        # 4-dp round already absorbs against DuckDB's ln.)
+        import math
+
+        rows = merged.collect()
+        cr_tot = 0.0
+        ct_tot = 0.0
+        for r in rows:
+            cr_tot += r["_cr"]
+            ct_tot += r["_ct"] or 0.0
+        lut = [0.0] * int(n_buckets)
+        for r in rows:
+            lut[int(r["bucket"])] = (
+                math.log(((r["_ct"] or 0.0) + 1.0)
+                         / (ct_tot + float(n_buckets)))
+                - math.log((r["_cr"] + 1.0) / (cr_tot + float(n_buckets)))
+            )
+        lut_arr = F.lit(lut)
+        return arrs.select(
+            "doc_id",
+            F.size("_bkts").cast("long").alias("n_feats"),
+            F.round(
+                F.aggregate(
+                    "_bkts",
+                    F.lit(0.0),
+                    lambda acc, b: acc
+                    + F.element_at(lut_arr, b.cast("int") + 1),
+                ),
+                4,
+            ).alias("log_weight"),
+        )
     tot_r = merged.agg(F.sum("_cr").alias("_cr_tot"))
     # F.sum skips nulls, so the merged form's total equals the old
     # tgtc-side total in both branches
