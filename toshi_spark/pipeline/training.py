@@ -365,6 +365,11 @@ def fuzzy_contamination(
         _signatures_from_tokens(tr_toks, n_hashes, shingle_k),
         n_hashes, n_bands,
     )
+    # NOT persisted: both consumers (the doc-restriction semi-join
+    # and the verify join) hang off the distinct's exchange, which
+    # ReuseExchange shares — an explicit persist was measured SLOWER
+    # (cache build + columnar write for rows the exchange already
+    # holds)
     cand = (
         train_b.join(F.broadcast(eval_b), ["band", "bucket"])
         .select("doc_id", "eval_id")
