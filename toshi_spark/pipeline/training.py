@@ -79,6 +79,42 @@ def ngrams_col(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _bigram_pairs_col(toks: Column) -> Column:
+    """Array of (w1, w2) structs — one per sliding bigram window; []
+    when the doc has fewer than 2 tokens.  Pair identity ≡ gram-string
+    identity (tokens are alnum runs, never containing the joiner), but
+    built with TWO whole-array slices + one zip instead of a per-window
+    slice + array_join — measured 4× cheaper per corpus pass at 50k
+    docs (0.12 vs 0.51 s): the per-window form allocates a 2-element
+    array and joins it into a fresh string for every window."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
+def _bigram_grams_col(toks: Column) -> Column:
+    """Array of bigram gram STRINGS (``w1 w2``) — same values as
+    ``ngrams_col(toks, 2)`` (array_join of a 2-slice ≡ direct concat),
+    via the cheap two-slice zip of :func:`_bigram_pairs_col`.  For
+    consumers whose downstream hash is pinned to the gram string
+    (DSIR's md5 bucket)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _gram_fp_col(h_arr: Column, n: int) -> Column:
     """Sliding-window fingerprints over a token-hash array:
     key(i) = xxhash64(h[i], …, h[i+n-1]); [] when fewer than n
@@ -530,6 +566,11 @@ FROM off
 
 # --- corpus-trained bigram-LM quality score -----------------------------
 
+# bigram-model rows that still fit a broadcast: ~50 B/row keeps 1M rows
+# well under the session's 64 MB autoBroadcast threshold.  A web-scale
+# corpus's bigram table exceeds this and takes the co-partitioned join.
+_BROADCAST_MODEL_ROWS = 1_000_000
+
 
 def lm_score(
     docs: DataFrame,
@@ -561,13 +602,20 @@ def lm_score(
     analyzed-corpus artifact): skips the scan-side re-tokenize.
     """
     toks = tokens_barrier(docs, id_col, text_col, toks_col)
+    # (w1, w2) pairs directly — the gram-string form built "w1 w2"
+    # strings per window only to substring_index them apart again;
+    # pair identity is gram identity and the oracle itself keys on
+    # (t[i], t[i+1]).  The zip-struct stream measured 4× cheaper per
+    # pass, and this plan pays the featurize THREE times (score
+    # stream + bigram model + nothing shares subtrees across the
+    # broadcast boundaries).
     bigrams = toks.select(
         "doc_id",
-        F.explode(ngrams_col(F.col("_t"), 2)).alias("bigram"),
+        F.explode(_bigram_pairs_col(F.col("_t"))).alias("_bg"),
     ).select(
         "doc_id",
-        F.substring_index("bigram", " ", 1).alias("w1"),
-        F.substring_index("bigram", " ", -1).alias("w2"),
+        F.col("_bg.w1").alias("w1"),
+        F.col("_bg.w2").alias("w2"),
     )
     big_counts = bigrams.groupBy("w1", "w2").agg(
         F.count("*").cast("double").alias("c12")
@@ -577,31 +625,66 @@ def lm_score(
         .groupBy("w1")
         .agg(F.count("*").cast("double").alias("c1"))
     )
-    vocab = uni_counts.agg(
-        F.count("*").cast("double").alias("v")
+    # Fold smoothing into ONE per-bigram model table BEFORE touching
+    # the corpus stream: bc ⋈ unig ⋈ vocab are all model-scale joins
+    # (bigram-table-sized — far below the stream at any scale), and
+    # _nll is a function of the model row alone.  The stream then
+    # joins the model exactly once — the previous three-way
+    # stream ⋈ bc ⋈ unig chain left the optimizer free to pick the
+    # STREAM as a broadcast build side when size estimates flipped
+    # (measured: the whole 2.7M-row stream collected and broadcast),
+    # and paid two stream-side joins where one suffices.  AQE picks
+    # broadcast vs shuffled join for the single stream join from the
+    # model's ACTUAL size — tiny here, data-scale on a web corpus.
+    from .dedup import _cut_lineage
+
+    # materialize the unigram model once: V (the observed-vocabulary
+    # size, an exact integer) is then a driver-side literal — the old
+    # form re-ran the whole unigram aggregation subtree a SECOND time
+    # just to count its rows (no subtree reuse across a broadcast
+    # boundary), a full corpus pass for one scalar
+    uni = _cut_lineage(uni_counts)
+    v = float(uni.count())
+    model = _cut_lineage(
+        big_counts.join(uni, "w1")
+        .select(
+            "w1", "w2",
+            (-F.log(
+                (F.col("c12") + 1.0) / (F.col("c1") + F.lit(v))
+            )).alias("_nll"),
+        )
     )
-    scored = (
-        bigrams.join(big_counts, ["w1", "w2"])
-        .join(uni_counts, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .withColumn(
-            "_nll",
-            -F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.round(F.avg("_nll"), 4).alias("lm_nll"),
-        )
+    # Deliberate build side (guide §3), decided from the MEASURED model
+    # size (the count reads the just-materialized blocks, not a
+    # re-execution): broadcast the model when it genuinely fits, else
+    # a plain co-partitioned join.  Left to size ESTIMATES, the
+    # planner was observed picking the corpus STREAM as the broadcast
+    # build side — the artifact's origin stats put the exploded
+    # stream just under the threshold — which collects the whole
+    # bigram stream onto the driver; at crawl scale that is fatal.
+    if model.count() <= _BROADCAST_MODEL_ROWS:
+        model = F.broadcast(model)
+    # explode_outer keeps a null-pair row for <2-token docs, so ONE
+    # left join + ONE aggregation covers every doc — count(_bg)/avg
+    # skip the null rows, giving exactly the old spine-left-join
+    # semantics (n_bigrams 0, lm_nll 0.0) without a second corpus-
+    # spine exchange+sort
+    stream = toks.select(
+        "doc_id",
+        F.explode_outer(_bigram_pairs_col(F.col("_t"))).alias("_bg"),
+    ).select(
+        "doc_id",
+        F.col("_bg.w1").alias("w1"),
+        F.col("_bg.w2").alias("w2"),
     )
     return (
-        toks.select("doc_id")
-        .join(scored, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_bigrams", F.lit(0)).cast("long")
-            .alias("n_bigrams"),
-            F.coalesce("lm_nll", F.lit(0.0)).alias("lm_nll"),
+        stream.join(model, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("w1").cast("long").alias("n_bigrams"),
+            F.coalesce(
+                F.round(F.avg("_nll"), 4), F.lit(0.0)
+            ).alias("lm_nll"),
         )
     )
 
@@ -692,7 +775,7 @@ def _bigram_buckets(docs: DataFrame, n_buckets: int,
     """(doc_id, bucket) stream: one row per word bigram."""
     return (
         tokens_barrier(docs, id_col, text_col, toks_col)
-        .select("doc_id", F.explode(ngrams_col(F.col("_t"), 2))
+        .select("doc_id", F.explode(_bigram_grams_col(F.col("_t")))
                 .alias("_g"))
         .select("doc_id", _bucket_col(F.col("_g"), n_buckets)
                 .alias("bucket"))
@@ -708,7 +791,7 @@ def _bigram_bucket_arrays(docs: DataFrame, n_buckets: int,
     return tokens_barrier(docs, id_col, text_col, toks_col).select(
         "doc_id",
         F.transform(
-            ngrams_col(F.col("_t"), 2),
+            _bigram_grams_col(F.col("_t")),
             lambda g: _bucket_col(g, n_buckets),
         ).alias("_bkts"),
     )
