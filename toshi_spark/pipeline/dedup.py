@@ -124,15 +124,27 @@ def add_minhash_cols(
     signatures (the row-dropping form below filters them instead; the
     composed oracles LEFT JOIN, so both conventions agree)."""
     zero = F.lit(0).cast("long")
-    m = F.transform(F.col(toks_col),
-                    lambda t: F.md5(F.encode(t, "utf-8")))
-    with_h = docs.withColumns({
-        "_mh_a": F.transform(
-            m, lambda s: F.conv(F.substring(s, 1, 7), 16, 10).cast("long")
+    # ONE md5 per token: the md5 map runs inside a single nested
+    # transform whose inner array is evaluated once, and the result
+    # lands behind a Generate barrier (explode of a 1-element array)
+    # so CollapseProject cannot substitute the map into the h1/h2
+    # consumers below — the previous two-column form re-evaluated the
+    # md5 transform once per half (a second full crypto pass over
+    # every token of the corpus).
+    mh_ab = F.transform(
+        F.transform(F.col(toks_col),
+                    lambda t: F.md5(F.encode(t, "utf-8"))),
+        lambda s: F.struct(
+            F.conv(F.substring(s, 1, 7), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring(s, 9, 7), 16, 10).cast("long").alias("b"),
         ),
-        "_mh_b": F.transform(
-            m, lambda s: F.conv(F.substring(s, 9, 7), 16, 10).cast("long")
-        ),
+    )
+    with_m = docs.select(
+        "*", F.explode(F.array(mh_ab)).alias("_mh_ab")
+    )
+    with_h = with_m.withColumns({
+        "_mh_a": F.transform(F.col("_mh_ab"), lambda s: s["a"]),
+        "_mh_b": F.transform(F.col("_mh_ab"), lambda s: s["b"]),
     })
     # complete k-windows only (0..n-k), except the head window of a
     # shorter-than-k doc, whose missing terms pad with 0
@@ -172,7 +184,7 @@ def add_minhash_cols(
         )
         for i in range(n_hashes)
     })
-    return out.drop("_mh_a", "_mh_b", "_mh_h1", "_mh_h2")
+    return out.drop("_mh_ab", "_mh_a", "_mh_b", "_mh_h1", "_mh_h2")
 
 
 def _signatures_from_tokens(
@@ -335,6 +347,12 @@ def ngram_jaccard_pairs(
         )
         .select("a", "b")
     )
+    # the intersect lands behind a Generate barrier (explode of a
+    # 1-element array): without it, predicate pushdown folds the
+    # jaccard filter into the verify JOIN's condition while the
+    # projection recomputes n_inter — array_intersect evaluated TWICE
+    # per candidate pair (measured in the physical plan; the intersect
+    # is the per-pair verify cost)
     out = (
         slim.join(
             sh.select(F.col("doc_id").alias("a"),
@@ -342,12 +360,17 @@ def ngram_jaccard_pairs(
         .join(
             sh.select(F.col("doc_id").alias("b"),
                       F.col("sh").alias("_shb")), "b")
-        .withColumn("n_inter",
-                    F.size(F.array_intersect("_sha", "_shb")))
+        .select(
+            "a", "b",
+            F.size("_sha").alias("_sa"), F.size("_shb").alias("_sb"),
+            F.explode(
+                F.array(F.size(F.array_intersect("_sha", "_shb")))
+            ).alias("n_inter"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter")
-            / (F.size("_sha") + F.size("_shb") - F.col("n_inter")),
+            / (F.col("_sa") + F.col("_sb") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"))

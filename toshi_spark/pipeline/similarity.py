@@ -277,12 +277,19 @@ def embedding_neardup_pairs(
     eb = eb.select("b", "vb",
                    F.sqrt(_dot(F.col("vb"), F.col("vb"))).alias("nb"))
     joined = pairs.join(ea, "a").join(eb, "b")
+    # the dot product lands behind a Generate barrier (explode of a
+    # 1-element array): otherwise predicate pushdown folds the
+    # ≥threshold filter into the verify join's CONDITION while the
+    # projection recomputes cos_sim — the per-pair fold (the verify
+    # cost at 5M candidates) evaluated twice
     cos = joined.select(
+        "a", "b", "na", "nb",
+        F.explode(
+            F.array(_dot(F.col("va"), F.col("vb")))
+        ).alias("_dp"),
+    ).select(
         "a", "b",
-        (
-            _dot(F.col("va"), F.col("vb"))
-            / (F.col("na") * F.col("nb"))
-        ).alias("cos_sim"),
+        (F.col("_dp") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
     )
     return cos.filter(F.col("cos_sim") >= threshold).select(
         "a", "b", F.round("cos_sim", 4).alias("cos_sim")

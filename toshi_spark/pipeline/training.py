@@ -424,14 +424,24 @@ def fuzzy_contamination(
             ).alias("_sha"),
         )
     )
+    # Generate barrier around the intersect — same reason as
+    # ngram_jaccard_pairs: without it the jaccard filter is pushed
+    # into the verify join's condition and array_intersect runs twice
+    # per candidate pair
     out = (
         cand.join(tr_sh, "doc_id")
         .join(F.broadcast(ev_sh), "eval_id")
-        .withColumn("n_inter", F.size(F.array_intersect("_sha", "_shb")))
+        .select(
+            "doc_id", "eval_id",
+            F.size("_sha").alias("_sa"), F.size("_shb").alias("_sb"),
+            F.explode(
+                F.array(F.size(F.array_intersect("_sha", "_shb")))
+            ).alias("n_inter"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter")
-            / (F.size("_sha") + F.size("_shb") - F.col("n_inter")),
+            / (F.col("_sa") + F.col("_sb") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id", "eval_id", F.round("jaccard", 4).alias("jaccard"))
