@@ -925,7 +925,16 @@ def dsir_weights(
                          / (ct_tot + float(n_buckets)))
                 - math.log((r["_cr"] + 1.0) / (cr_tot + float(n_buckets)))
             )
-        lut_arr = F.lit(lut)
+        # ONE parsed array literal, never F.lit(list): PySpark expands
+        # a list literal into one py4j `lit` call PER ELEMENT — ~2 s of
+        # pure DRIVER time for 4096 doubles, paid on every invocation
+        # (it dominated the whole query).  repr() emits the shortest
+        # exact decimal for a double and both engines' parsers are
+        # correctly rounded, so the round-trip is bit-exact; the values
+        # are finite by construction (smoothed log-ratios).
+        lut_arr = F.expr(
+            "array(" + ",".join(f"{x!r}D" for x in lut) + ")"
+        )
         return arrs.select(
             "doc_id",
             F.size("_bkts").cast("long").alias("n_feats"),
