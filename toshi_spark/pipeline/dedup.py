@@ -64,6 +64,53 @@ def shingles_col(tokens: Column, k: int = 3) -> Column:
     )).otherwise(F.array(F.array_join(tokens, " ")))
 
 
+def hashed_shingle_sets(
+    df: DataFrame,
+    toks_col: str,
+    k: int = 3,
+    out_col: str = "sh",
+    keep: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(keep…, out_col): per-row DISTINCT hashed-shingle array built
+    from per-token xxhash64s — the shingle STRING is never built.
+
+    Set sizes and intersections are invariant under any injective map
+    of the shingles, and every consumer compares hashed sets from THIS
+    function on both sides of a pair, so exact-Jaccard verification is
+    unchanged up to a ~n²/2⁶⁴ per-pair collision (the same odds the
+    previous xxhash64-of-string form already accepted).  What changes
+    is the cost: the string form copied every token k times and joined
+    them into a fresh string per window; here each token hashes once
+    (behind a Generate barrier, so the map cannot be inlined into the
+    per-window lambda) and each window combines k fixed-width longs.
+    Docs with fewer than k tokens fold their whole token-hash array
+    into one chained xxhash64 (the analogue of the one whole-doc
+    shingle the string form emits)."""
+    th = df.select(
+        *keep,
+        F.explode(F.array(
+            F.transform(F.col(toks_col), lambda t: F.xxhash64(t))
+        )).alias("_th"),
+    )
+    n = F.size(F.col("_th"))
+    win = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda j: F.xxhash64(
+            *[F.get(F.col("_th"), j + F.lit(i)) for i in range(k)]
+        ),
+    )
+    whole = F.array(F.aggregate(
+        F.col("_th"), F.lit(k).cast("long"),
+        lambda acc, h: F.xxhash64(acc, h),
+    ))
+    return th.select(
+        *keep,
+        F.array_distinct(
+            F.when(n >= k, win).otherwise(whole)
+        ).alias(out_col),
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(content_hash, keeper, n_copies): one row per distinct content."""
@@ -302,28 +349,22 @@ def ngram_jaccard_pairs(
             cand_ids.withColumnRenamed(id_col, "doc_id"),
             "doc_id", "left_semi",
         )
-        toks = F.col("_toks")
     else:
         base = docs.join(cand_ids, id_col, "left_semi").select(
-            F.col(id_col).alias("doc_id"), F.col(text_col)
+            F.col(id_col).alias("doc_id"),
+            tokens_col(text_col).alias("_toks"),
         )
-        toks = tokens_col(text_col)
     # one shingle-array row per candidate doc; persist so the doc scan
     # + tokenize runs ONCE across the two pair-side joins (the verify
     # working set, sized by candidate docs — spills rather than OOMs).
-    # Shingles are xxhash64-hashed to longs FIRST: |A∩B| / |A| / |B|
-    # are preserved under any injective mapping (a 64-bit collision
-    # inside one candidate pair's ~10² shingles is ~10²·10²/2⁶⁴ ≈
-    # 1e-16 per pair — below any realistic corpus event), and the
-    # verify rows shrink ~2.5× (8-byte elements vs shingle strings),
-    # which is what the two pair-side joins shuffle.
-    sh = base.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(shingles_col(toks, shingle_k),
-                        lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    ).persist()
+    # Shingle sets are hashed-long sets from per-token hashes
+    # (hashed_shingle_sets): |A∩B| / |A| / |B| are preserved under any
+    # injective mapping (a 64-bit collision inside one candidate
+    # pair's ~10² shingles is ~10²·10²/2⁶⁴ ≈ 1e-16 per pair — below
+    # any realistic corpus event), the verify rows shrink ~2.5×
+    # (8-byte elements vs shingle strings), and the shingle string is
+    # never even built.
+    sh = hashed_shingle_sets(base, "_toks", shingle_k).persist()
     # size-ratio prefilter (exact-safe): J = I/(|A|+|B|−I) with
     # I ≤ min(|A|,|B|) implies J ≤ min/max, so any pair with
     # min < t·max cannot reach the threshold — drop it BEFORE the

@@ -290,7 +290,7 @@ def eval_contamination_artifact(
     from .dedup import (
         _signatures_from_tokens,
         band_buckets,
-        shingles_col,
+        hashed_shingle_sets,
         tokens_col as dd_tokens_col,
     )
 
@@ -305,16 +305,14 @@ def eval_contamination_artifact(
     bands = bands.withColumn(
         "_bn", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("_bn") <= max_eval_bucket).drop("_bn")
-    # hashed-shingle arrays (xxhash64 longs): set sizes and
-    # intersections are hash-invariant (see ngram_jaccard_pairs), and
-    # the broadcast eval artifact shrinks ~2.5×
-    shingles = ev_toks.select(
-        F.col("doc_id").alias("eval_id"),
-        F.array_distinct(
-            F.transform(shingles_col(F.col("_toks"), shingle_k),
-                        lambda s: F.xxhash64(s))
-        ).alias("_shb"),
-    )
+    # hashed-shingle SETS from per-token hashes (hashed_shingle_sets —
+    # the verify convention; both sides of every pair use the same
+    # map): set sizes and intersections are hash-invariant, the
+    # broadcast eval artifact shrinks ~2.5×, and no shingle string is
+    # ever built
+    shingles = hashed_shingle_sets(
+        ev_toks, "_toks", shingle_k, out_col="_shb"
+    ).withColumnRenamed("doc_id", "eval_id")
     return bands, shingles
 
 
@@ -367,7 +365,7 @@ def fuzzy_contamination(
         _cut_lineage,
         _signatures_from_tokens,
         band_buckets,
-        shingles_col,
+        hashed_shingle_sets,
         tokens_col as dd_tokens_col,
     )
 
@@ -413,16 +411,10 @@ def fuzzy_contamination(
     )
     # exact-Jaccard verify: train shingle arrays restricted to
     # candidate docs; eval shingle arrays broadcast whole
-    tr_sh = (
+    tr_sh = hashed_shingle_sets(
         tr_toks.join(cand.select("doc_id").distinct(), "doc_id",
-                     "left_semi")
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(shingles_col(F.col("_toks"), shingle_k),
-                            lambda s: F.xxhash64(s))
-            ).alias("_sha"),
-        )
+                     "left_semi"),
+        "_toks", shingle_k, out_col="_sha",
     )
     # Generate barrier around the intersect — same reason as
     # ngram_jaccard_pairs: without it the jaccard filter is pushed
