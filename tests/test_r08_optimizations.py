@@ -343,6 +343,124 @@ def test_struct_band_buckets_equal_md5_buckets(spark):
     assert _rows(got) == _rows(want)
 
 
+def test_bigram_zip_forms_equal_ngrams_col(spark):
+    """The two-slice zip bigram builders must emit exactly the windows
+    ngrams_col(toks, 2) emits — values AND order — including 0/1-token
+    docs (empty array)."""
+    from toshi_spark.pipeline.training import (
+        _bigram_grams_col, _bigram_pairs_col, ngrams_col, tokens_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "solo"), (2, ""), (3, "x y"),
+         (4, "r r r r r r")],
+        "doc_id long, text string",
+    )
+    t = tokens_col(F.col("text"))
+    out = docs.select(
+        "doc_id",
+        ngrams_col(t, 2).alias("ref"),
+        _bigram_grams_col(t).alias("grams"),
+        F.transform(
+            _bigram_pairs_col(t),
+            lambda s: F.concat(s["w1"], F.lit(" "), s["w2"]),
+        ).alias("pairs_joined"),
+    ).collect()
+    for r in out:
+        assert r["grams"] == r["ref"], (r["doc_id"], r["grams"], r["ref"])
+        assert r["pairs_joined"] == r["ref"], r["doc_id"]
+
+
+def test_minhash_md5_once_bit_identity(spark):
+    """The Generate-barrier md5-once signature kernel must reproduce
+    the double-hash family bit-for-bit against an independent Python
+    reference (hashlib + integer polynomials)."""
+    import hashlib
+
+    from toshi_spark.pipeline.dedup import minhash_signatures, tokens_col
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} alpha beta w{i % 3} gamma delta epsilon zeta")
+         for i in range(30)] + [(99, "a b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: [r[f"mh_{i}"] for i in range(8)]
+           for r in minhash_signatures(docs, n_hashes=8).collect()}
+    toks = {r["doc_id"]: r["t"]
+            for r in docs.select(
+                "doc_id", tokens_col("text").alias("t")).collect()}
+    for d, t in toks.items():
+        ab = [(int(hashlib.md5(x.encode()).hexdigest()[:7], 16),
+               int(hashlib.md5(x.encode()).hexdigest()[8:15], 16))
+              for x in t]
+        aa = [a for a, _ in ab]
+        bb = [b for _, b in ab]
+
+        def g(arr, j):
+            return arr[j] if j < len(arr) else 0
+
+        idxs = range(0, max(len(ab) - 3, 0) + 1)
+        h1 = [(g(aa, j) * 131 + g(aa, j + 1)) * 131 + g(aa, j + 2)
+              for j in idxs]
+        h2 = [(((g(bb, j) * 137 + g(bb, j + 1)) * 137 + g(bb, j + 2)) | 1)
+              for j in idxs]
+        want = [min(x + i * y for x, y in zip(h1, h2)) for i in range(8)]
+        assert got[d] == want, d
+
+
+def test_parsed_array_literal_is_bit_exact(spark):
+    """The array(<repr>D, …) parsed literal (the DSIR LUT path) must
+    round-trip every double bit-exactly vs per-element F.lit."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-60, 60) for _ in range(512)] + [
+        0.0, -0.0, 1e-300, -1e-300, math.pi, 1 / 3,
+    ]
+    parsed = F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
+    lit = F.array(*[F.lit(float(x)) for x in vals])
+    row = spark.range(1).select(parsed.alias("p"), lit.alias("l")).collect()[0]
+    import struct as _s
+    assert [_s.pack("d", x) for x in row["p"]] == \
+           [_s.pack("d", x) for x in row["l"]]
+
+
+def test_lm_score_matches_python_reference(spark):
+    """The single-join probed-model lm_score (explode_outer spine,
+    V-as-literal) vs a brute-force Python bigram LM — including empty
+    and 1-token docs (n_bigrams 0, lm_nll 0.0)."""
+    import math
+    from collections import Counter
+
+    from toshi_spark.pipeline.training import lm_score
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat ran",
+        2: "solo",
+        3: "",
+        4: "the cat sat on the mat again and again",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["lm_nll"])
+           for r in lm_score(docs).collect()}
+
+    toks = {d: [x for x in t.lower().split() if x] for d, t in texts.items()}
+    bigr = {d: list(zip(t, t[1:])) for d, t in toks.items()}
+    bc = Counter(b for bs in bigr.values() for b in bs)
+    uc = Counter(w for t in toks.values() for w in t)
+    v = float(len(uc))
+    for d, bs in bigr.items():
+        if not bs:
+            assert got[d] == (0, 0.0), d
+            continue
+        nll = [-math.log((bc[b] + 1.0) / (uc[b[0]] + v)) for b in bs]
+        assert got[d][0] == len(bs), d
+        assert abs(got[d][1] - round(sum(nll) / len(nll), 4)) <= 1e-9, d
+
+
 def test_jaccard_size_prefilter_is_lossless(spark):
     """The min>=t*max prefilter may only drop pairs that cannot reach
     the threshold — verified pairs must be identical with and without
